@@ -1,0 +1,28 @@
+"""getml_community_spark — a PySpark-native time-series rollup, downsample
+and retention engine with the query capabilities of getML community.
+
+This is NOT a port of the reference C++ engine. The reference
+(cyclux/getml-community, read-only at /root/reference) defines WHAT we
+compute — the data model (SURVEY.md §1), the operator inventory
+(SURVEY.md §2), and the exact aggregation semantics
+(src/engine/include/helpers/Aggregations.hpp) — while the HOW is
+idiomatic Spark: declarative DataFrame plans optimized by Catalyst,
+whole-stage-codegen aggregation expressions, Arrow-vectorized pandas
+UDFs for the few kernels Spark lacks (Gorilla compression), and
+partitioning/AQE/salting for scale.
+
+Layout
+------
+session          SparkSession factory (AQE, Arrow, shuffle tuning, Iceberg-gated)
+datagen          deterministic tokenized-corpus generator (FIXTURES.md §1)
+oracle           numpy implementation of the full aggregation battery (test oracle)
+checkpoint       snapshot-manifest table layer + per-partition lineage + resume
+plans            RollupSpec — the declarative job spec (Placeholder analogue)
+operators        rollup tiers, gap-fill, as-of join, agg battery, dedup,
+                 similarity search, text stats, multimodal plumbing, skew tools
+functions        scalar expression surface, Gorilla numpy kernels, preprocessors
+sources          readers/writers (csv/parquet/json/jdbc; snapshot tables)
+streaming        structured-streaming variant of the 1m tier
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,241 @@
+"""Snapshot tables + per-partition lineage + resumable jobs.
+
+This is the engine's analogue of the reference's fingerprint-based
+result cache (dependency/DataFrameTracker.hpp:24-61 — staged/feature
+frames keyed by build-history fingerprints and reused when inputs are
+unchanged), upgraded to durable, partition-grained checkpointing.
+
+On a real cluster this layer is Iceberg: appends are snapshot commits,
+retention is ``DELETE WHERE`` (metadata-only on partition boundaries),
+resume reads the snapshot log. The sandbox has no Iceberg jar, so
+:class:`SnapshotTable` implements the same contract on parquet +
+atomic-rename JSON manifests: every append is a new immutable snapshot
+listing the live data directories; readers see a consistent snapshot;
+partition deletes are metadata-only (a new manifest that drops entries);
+nothing is ever mutated in place. The ``entries`` of a manifest are
+(path, partition-values) pairs — i.e. Iceberg's manifest-file model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["SnapshotTable", "LineageLog", "JobState"]
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, default=str)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: str
+    parent: str | None
+    entries: list[dict]  # [{"path": ..., "partition": {...}}]
+    committed_at: float = field(default_factory=time.time)
+
+
+class SnapshotTable:
+    """Append-only snapshot-versioned parquet table.
+
+    Layout::
+
+        root/
+          data/<append-uuid>/...parquet   (one dir per append, immutable)
+          snapshots/<id>.json             (manifest: live entries)
+          HEAD                            (current snapshot id, atomic)
+    """
+
+    def __init__(self, root: str, partition_by: list[str] | None = None):
+        self.root = root
+        self.partition_by = partition_by or []
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+
+    # ---- snapshot log ------------------------------------------------ #
+    def current_snapshot_id(self) -> str | None:
+        head = os.path.join(self.root, "HEAD")
+        if not os.path.exists(head):
+            return None
+        with open(head) as f:
+            return f.read().strip() or None
+
+    def _load(self, snapshot_id: str) -> Snapshot:
+        with open(os.path.join(self.root, "snapshots", f"{snapshot_id}.json")) as f:
+            d = json.load(f)
+        return Snapshot(d["snapshot_id"], d.get("parent"), d["entries"], d["committed_at"])
+
+    def current(self) -> Snapshot | None:
+        sid = self.current_snapshot_id()
+        return self._load(sid) if sid else None
+
+    def _commit(self, entries: list[dict]) -> str:
+        sid = uuid.uuid4().hex[:16]
+        snap = Snapshot(sid, self.current_snapshot_id(), entries)
+        _atomic_write_json(
+            os.path.join(self.root, "snapshots", f"{sid}.json"), snap.__dict__
+        )
+        _atomic_write_json(os.path.join(self.root, "HEAD.json"), {"id": sid})
+        # HEAD as plain text via atomic rename
+        tmp = os.path.join(self.root, f".HEAD.{sid}")
+        with open(tmp, "w") as f:
+            f.write(sid)
+        os.replace(tmp, os.path.join(self.root, "HEAD"))
+        return sid
+
+    # ---- writes ------------------------------------------------------ #
+    def append(self, df: DataFrame) -> str:
+        """Write df as a new immutable append; commit a snapshot whose
+        entries = parent entries + the new partition dirs."""
+        dir_id = uuid.uuid4().hex[:16]
+        path = os.path.join(self.root, "data", dir_id)
+        writer = df.write.mode("error")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(path)
+        new_entries = []
+        if self.partition_by:
+            for sub in self._partition_dirs(path):
+                new_entries.append(
+                    {"path": sub, "partition": self._parse_partition(sub, path)}
+                )
+        else:
+            new_entries.append({"path": path, "partition": {}})
+        cur = self.current()
+        entries = (cur.entries if cur else []) + new_entries
+        return self._commit(entries)
+
+    def _partition_dirs(self, base: str) -> list[str]:
+        """Leaf partition directories under an append dir."""
+        out = []
+
+        def walk(d: str, depth: int):
+            if depth == len(self.partition_by):
+                out.append(d)
+                return
+            for name in sorted(os.listdir(d)):
+                sub = os.path.join(d, name)
+                if os.path.isdir(sub) and "=" in name:
+                    walk(sub, depth + 1)
+
+        walk(base, 0)
+        return out
+
+    @staticmethod
+    def _parse_partition(leaf: str, base: str) -> dict:
+        rel = os.path.relpath(leaf, base)
+        vals = {}
+        for part in rel.split(os.sep):
+            if "=" in part:
+                k, v = part.split("=", 1)
+                vals[k] = v
+        return vals
+
+    def delete_partitions(self, predicate) -> str:
+        """Metadata-only partition expiry (Iceberg ``DELETE WHERE`` on
+        partition boundaries): commit a manifest without the matching
+        entries. ``predicate`` takes the partition dict → bool."""
+        cur = self.current()
+        entries = [e for e in (cur.entries if cur else []) if not predicate(e["partition"])]
+        return self._commit(entries)
+
+    # ---- reads -------------------------------------------------------- #
+    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
+        snap = self._load(snapshot_id) if snapshot_id else self.current()
+        if snap is None or not snap.entries:
+            raise FileNotFoundError(f"no snapshot/data in {self.root}")
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        dfs = []
+        for e in snap.entries:
+            d = spark.read.parquet(e["path"])
+            for k, v in e["partition"].items():
+                d = d.withColumn(k, F.lit(v))
+            dfs.append(d)
+        return reduce(lambda a, b: a.unionByName(b), dfs)
+
+    def partitions(self, snapshot_id: str | None = None) -> list[dict]:
+        snap = self._load(snapshot_id) if snapshot_id else self.current()
+        return [e["partition"] for e in (snap.entries if snap else [])]
+
+
+class LineageLog:
+    """Per-partition lineage rows (north rule: partition id, snapshot id,
+    rows in/out, bytes compressed + metrics). Stored as a parquet log —
+    append-only, queryable with Spark or pandas."""
+
+    COLUMNS = [
+        "job_id",
+        "spec_hash",
+        "tier",
+        "partition_id",
+        "snapshot_id",
+        "rows_in",
+        "rows_out",
+        "bytes_compressed",
+        "wall_seconds",
+        "committed_at",
+    ]
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def append(self, rows: list[dict]) -> None:
+        import pandas as pd
+
+        if not rows:
+            return
+        pdf = pd.DataFrame(rows, columns=self.COLUMNS)
+        pdf.to_parquet(os.path.join(self.root, f"{uuid.uuid4().hex}.parquet"))
+
+    def read_pandas(self):
+        import glob
+
+        import pandas as pd
+
+        files = sorted(glob.glob(os.path.join(self.root, "*.parquet")))
+        if not files:
+            return pd.DataFrame(columns=self.COLUMNS)
+        return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+class JobState:
+    """Which (tier, partition_id) units a job has completed, keyed by
+    (spec_hash, input snapshot). Resume = skip completed units."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, spec_hash: str, input_snapshot: str) -> str:
+        return os.path.join(self.root, f"state-{spec_hash}-{input_snapshot}.json")
+
+    def completed(self, spec_hash: str, input_snapshot: str) -> set[tuple[str, str]]:
+        p = self._path(spec_hash, input_snapshot)
+        if not os.path.exists(p):
+            return set()
+        with open(p) as f:
+            return {tuple(x) for x in json.load(f)["done"]}
+
+    def mark(
+        self, spec_hash: str, input_snapshot: str, units: list[tuple[str, str]]
+    ) -> None:
+        done = self.completed(spec_hash, input_snapshot)
+        done.update(units)
+        _atomic_write_json(
+            self._path(spec_hash, input_snapshot), {"done": sorted(done)}
+        )

@@ -1,0 +1,323 @@
+"""Gorilla compression of (timestamp, value) pairs — vectorized numpy
+kernels wrapped in Arrow pandas UDFs (never per-row Python).
+
+Algorithm per the Gorilla paper (Pelkonen et al., VLDB 2015, public):
+- timestamps: delta-of-delta with prefix classes
+    '0'                       dod == 0
+    '10'   + 7  bits          dod ∈ [−63, 64]
+    '110'  + 9  bits          dod ∈ [−255, 256]
+    '1110' + 12 bits          dod ∈ [−2047, 2048]
+    '1111' + 32 bits          otherwise (two's complement)
+- values: XOR with previous; '0' if identical, else
+    '11' + 5-bit leading-zero count + 6-bit meaningful-bit count
+    (64 encodes as 0) + the meaningful bits.
+
+Deviation for vectorization: the paper's '10' control (reuse previous
+leading/meaningful window) creates a sequential dependency across
+points, so the ENCODER always emits the explicit '11' form — a valid
+bitstream any Gorilla decoder accepts, fully vectorizable, slightly
+larger. Our decoder handles both forms.
+
+Container format (per segment, little-endian header):
+    b"GOR1" | n uint32 | t0 int64 | ts_bits uint32 | val_bits uint32
+            | packed ts stream | packed value stream
+Timestamp and value streams are stored separately (not interleaved) so
+both directions stay vectorized.
+
+The reference engine has no compression; this implements the north
+rule's storage layer. Its spill/memmap analogue is
+/root/reference/src/engine/include/memmap/Pool.hpp:33-61.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+__all__ = [
+    "encode_segment",
+    "decode_segment",
+    "compress_rollup",
+    "decompress_segments",
+]
+
+_MAGIC = b"GOR1"
+_HEADER = struct.Struct("<4sIqII")
+
+
+# --------------------------------------------------------------------- #
+# bit-level helpers (vectorized)
+# --------------------------------------------------------------------- #
+def _ilog2_32(v: np.ndarray) -> np.ndarray:
+    """floor(log2(v)) for uint32-range v > 0 (exact in float64)."""
+    return np.floor(np.log2(v.astype(np.float64))).astype(np.int64)
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    """count trailing zeros of uint64 (x > 0)."""
+    b = x & (~x + np.uint64(1))  # isolate lowest set bit (power of two)
+    lo = (b & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    hi = (b >> np.uint64(32)).astype(np.uint64)
+    return np.where(
+        lo > 0, _ilog2_32(np.maximum(lo, 1)), 32 + _ilog2_32(np.maximum(hi, 1))
+    )
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """count leading zeros of uint64 (x > 0)."""
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    hi = (x >> np.uint64(32)).astype(np.uint64)
+    return np.where(hi > 0, 31 - _ilog2_32(np.maximum(hi, 1)), 63 - _ilog2_32(np.maximum(lo, 1)))
+
+
+def _pack_codes(codes: np.ndarray, lens: np.ndarray) -> tuple[bytes, int]:
+    """Concatenate MSB-first variable-length codes into packed bytes.
+
+    codes uint64, lens int64 (0..64). Fully vectorized: build an
+    (n × max_len) bit matrix, mask by per-code length, row-major select
+    → flat bitstream → np.packbits.
+    """
+    if len(codes) == 0:
+        return b"", 0
+    maxlen = int(lens.max())
+    if maxlen == 0:
+        return b"", 0
+    j = np.arange(maxlen, dtype=np.int64)
+    shifts = lens[:, None] - 1 - j[None, :]
+    valid = shifts >= 0
+    bits = (
+        (codes[:, None] >> np.where(valid, shifts, 0).astype(np.uint64))
+        & np.uint64(1)
+    ).astype(np.uint8)
+    flat = bits[valid]
+    nbits = int(flat.size)
+    return np.packbits(flat).tobytes(), nbits
+
+
+class _BitReader:
+    """Sequential MSB-first bit cursor (decode path; cold, per-segment)."""
+
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, data: bytes, nbits: int):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))[:nbits]
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        out = 0
+        b = self.bits
+        p = self.pos
+        for k in range(n):
+            out = (out << 1) | int(b[p + k])
+        self.pos = p + n
+        return out
+
+
+# --------------------------------------------------------------------- #
+# encode
+# --------------------------------------------------------------------- #
+def _encode_timestamps(ts: np.ndarray) -> tuple[bytes, int]:
+    """ts int64 seconds, sorted. Returns packed dod stream for ts[1:]."""
+    if len(ts) < 2:
+        return b"", 0
+    deltas = np.diff(ts)
+    dods = np.empty_like(deltas)
+    dods[0] = deltas[0]  # first delta encoded with implicit prev_delta=0
+    dods[1:] = np.diff(deltas)
+
+    c1 = (dods >= -63) & (dods <= 64)
+    c2 = (dods >= -255) & (dods <= 256) & ~c1
+    c3 = (dods >= -2047) & (dods <= 2048) & ~c1 & ~c2
+    c4 = ~(c1 | c2 | c3) & (dods != 0)
+    c0 = dods == 0
+    c1, c2, c3 = c1 & ~c0, c2 & ~c0, c3 & ~c0
+
+    codes = np.zeros(len(dods), dtype=np.uint64)
+    lens = np.zeros(len(dods), dtype=np.int64)
+    lens[c0] = 1  # '0'
+    codes[c1] = (np.uint64(0b10) << np.uint64(7)) | (dods[c1] + 63).astype(np.uint64)
+    lens[c1] = 9
+    codes[c2] = (np.uint64(0b110) << np.uint64(9)) | (dods[c2] + 255).astype(np.uint64)
+    lens[c2] = 12
+    codes[c3] = (np.uint64(0b1110) << np.uint64(12)) | (dods[c3] + 2047).astype(
+        np.uint64
+    )
+    lens[c3] = 16
+    codes[c4] = (np.uint64(0b1111) << np.uint64(32)) | (
+        dods[c4].astype(np.int64).view(np.uint64) & np.uint64(0xFFFFFFFF)
+    )
+    lens[c4] = 36
+    return _pack_codes(codes, lens)
+
+
+def _encode_values(vals: np.ndarray) -> tuple[bytes, int]:
+    """vals float64. XOR-encodes all values (first against 0)."""
+    bits = np.ascontiguousarray(vals, dtype=np.float64).view(np.uint64)
+    prev = np.empty_like(bits)
+    prev[0] = 0
+    prev[1:] = bits[:-1]
+    xors = bits ^ prev
+
+    nz = xors != 0
+    L = np.zeros(len(xors), dtype=np.int64)
+    T = np.zeros(len(xors), dtype=np.int64)
+    L[nz] = np.minimum(_clz64(xors[nz]), 31)
+    T[nz] = _ctz64(xors[nz])
+    M = np.where(nz, 64 - L - T, 0)
+
+    # codeword 1: '0' (len 1) for identical, else '11' + 5b L + 6b (M mod 64)
+    cw1 = np.where(
+        nz,
+        (np.uint64(0b11) << np.uint64(11))
+        | (L.astype(np.uint64) << np.uint64(6))
+        | (M.astype(np.uint64) & np.uint64(0x3F)),
+        np.uint64(0),
+    )
+    l1 = np.where(nz, 13, 1).astype(np.int64)
+    # codeword 2: the meaningful bits
+    cw2 = np.where(nz, xors >> T.astype(np.uint64), np.uint64(0))
+    l2 = M.astype(np.int64)
+
+    codes = np.ravel(np.column_stack([cw1, cw2]))
+    lens = np.ravel(np.column_stack([l1, l2]))
+    return _pack_codes(codes, lens)
+
+
+def encode_segment(ts_epoch: np.ndarray, values: np.ndarray) -> bytes:
+    """Encode one segment of (epoch-second int64, float64) pairs sorted
+    by timestamp into the GOR1 container."""
+    ts = np.ascontiguousarray(ts_epoch, dtype=np.int64)
+    vals = np.ascontiguousarray(values, dtype=np.float64)
+    assert len(ts) == len(vals)
+    n = len(ts)
+    if n == 0:
+        return _HEADER.pack(_MAGIC, 0, 0, 0, 0)
+    ts_packed, ts_bits = _encode_timestamps(ts)
+    val_packed, val_bits = _encode_values(vals)
+    header = _HEADER.pack(_MAGIC, n, int(ts[0]), ts_bits, val_bits)
+    return header + ts_packed + val_packed
+
+
+# --------------------------------------------------------------------- #
+# decode
+# --------------------------------------------------------------------- #
+def decode_segment(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`encode_segment` → (ts int64, values float64)."""
+    magic, n, t0, ts_bits, val_bits = _HEADER.unpack_from(blob, 0)
+    assert magic == _MAGIC, "bad segment magic"
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    off = _HEADER.size
+    ts_nbytes = (ts_bits + 7) // 8
+    ts_stream = blob[off : off + ts_nbytes]
+    val_stream = blob[off + ts_nbytes :]
+
+    # timestamps
+    ts = np.empty(n, dtype=np.int64)
+    ts[0] = t0
+    r = _BitReader(ts_stream, ts_bits)
+    delta = 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            dod = 0
+        elif r.read(1) == 0:
+            dod = r.read(7) - 63
+        elif r.read(1) == 0:
+            dod = r.read(9) - 255
+        elif r.read(1) == 0:
+            dod = r.read(12) - 2047
+        else:
+            raw = r.read(32)
+            dod = raw - (1 << 32) if raw >= (1 << 31) else raw
+        delta += dod
+        ts[i] = ts[i - 1] + delta
+
+    # values
+    out = np.empty(n, dtype=np.uint64)
+    r = _BitReader(val_stream, val_bits)
+    prev = 0
+    prev_l, prev_m = 0, 64
+    for i in range(n):
+        if r.read(1) == 0:
+            xor = 0
+        else:
+            if r.read(1) == 1:  # '11' explicit window
+                prev_l = r.read(5)
+                prev_m = r.read(6) or 64
+            # '10' reuses (prev_l, prev_m)
+            t = 64 - prev_l - prev_m
+            xor = r.read(prev_m) << t
+        prev ^= xor
+        out[i] = prev
+    return ts, out.view(np.float64)
+
+
+# --------------------------------------------------------------------- #
+# Spark plumbing
+# --------------------------------------------------------------------- #
+COMPRESSED_SCHEMA = (
+    "source string, day date, n_points int, bytes_raw long, "
+    "bytes_compressed long, data binary"
+)
+
+
+def compress_rollup(
+    agg,
+    ts_col: str = "bucket_start",
+    value_col: str = "rate",
+    source_col: str = "source",
+):
+    """(source, day) segments of a rollup table → Gorilla blobs.
+
+    ``applyInPandas`` groups by (source, day): each segment arrives as
+    one Arrow batch; the kernel is pure numpy. Grouping by day bounds
+    segment size (≤1440 1m-points) and aligns segments with the
+    day-partitioned table layout, so recompression after late data
+    touches exactly one partition.
+    """
+    from pyspark.sql import functions as F
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__ts")
+        ts = pdf["__ts"].to_numpy(np.int64)
+        vals = pdf["__val"].to_numpy(np.float64)
+        blob = encode_segment(ts, vals)
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "day": [pdf["__day"].iloc[0]],
+                "n_points": [len(ts)],
+                "bytes_raw": [len(ts) * 16],
+                "bytes_compressed": [len(blob)],
+                "data": [blob],
+            }
+        )
+
+    prep = agg.select(
+        F.col(source_col).alias("source"),
+        F.to_date(ts_col).alias("__day"),
+        F.col(ts_col).cast("long").alias("__ts"),
+        F.col(value_col).cast("double").alias("__val"),
+    )
+    return prep.groupBy("source", "__day").applyInPandas(kernel, COMPRESSED_SCHEMA)
+
+
+def decompress_segments(segments):
+    """Inverse: compressed segments table → (source, ts, value) rows via
+    ``mapInPandas`` (vectorized; output exploded per point)."""
+    def kernel(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                ts, vals = decode_segment(row["data"])
+                outs.append(
+                    pd.DataFrame(
+                        {"source": row["source"], "ts": ts, "value": vals}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return segments.mapInPandas(kernel, "source string, ts long, value double")

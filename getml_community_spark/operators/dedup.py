@@ -1,0 +1,248 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's surface (it has no dedup), but first-class for a
+100 TB corpus engine. All JVM-side expressions; the only shuffles are
+the ones the algorithms fundamentally need (hash-group on dedup key /
+band-bucket join for LSH).
+
+- exact_dedup:      hash-groupBy on content hash, keep one winner
+- minhash_lsh:      shingles → minhash signature → banded buckets →
+                    candidate pairs within buckets (classic MinHash+LSH)
+- simhash:          64-bit weighted-token fingerprint; near-dups differ
+                    in few bits
+- ngram_jaccard:    exact n-gram Jaccard for candidate verification
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "minhash_lsh_dedup",
+    "simhash",
+    "simhash_pairs",
+    "ngram_jaccard",
+]
+
+# 64-bit mixing constants for the hash families (public xxhash-style odd
+# multipliers; any fixed odd constants work).
+_MIX_A = 0x9E3779B97F4A7C15
+_MIX_B = 0xC2B2AE3D27D4EB4F
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, id_col: str, normalize: bool = True
+) -> DataFrame:
+    """Exact dedup: one winner per content hash (lowest id — pinned,
+    deterministic). Single shuffle on the 64-bit content hash; ties in
+    the 64-bit space are broken by grouping on the full normalized
+    content, so hash collisions cannot merge distinct documents."""
+    c = F.col(content_col)
+    if normalize:
+        c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return (
+        df.withColumn("__norm", c)
+        .groupBy(F.xxhash64("__norm").alias("__h"), F.col("__norm"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__norm", "__h")
+    )
+
+
+def shingles(text: Column, n: int = 5) -> Column:
+    """Word n-gram shingle set (array<string>) — JVM-side: split, slide,
+    concat. Empty/short docs yield the whole-doc shingle."""
+    words = F.filter(F.split(F.lower(text), r"[^\p{L}\p{N}]+"), lambda w: w != "")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    )
+
+
+def _hash_family(col: Column, seed: int) -> Column:
+    """One member of a 64-bit hash family: xxhash64 with per-family salt."""
+    return F.xxhash64(col, F.lit(seed))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
+    """MinHash signature: per hash function, min over the shingle set of
+    xxhash64(shingle, seed_i) (array<long>, length num_hashes).
+    array_min over a transform — no explode, no shuffle."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s, i=i: _hash_family(s, i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH.
+
+    rows → signature → explode into `bands` band-keys (hash of the
+    band's signature slice) → self-join per bucket. The self-join is an
+    equi-join on the band key: Spark hash-partitions both sides, so a
+    bucket's candidates co-locate; estimated Jaccard (signature overlap)
+    is computed inside the join row — verification by exact
+    ngram_jaccard is the caller's (cheap, candidate-only) second step.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes)
+    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    banded = with_sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            "l.sig", "r.sig", lambda a, b: (a == b).cast("int")
+                        ),
+                        lambda x: x == 1,
+                    )
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+    )
+    return pairs
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Keep-one near-dedup: drop the higher id of every candidate pair
+    whose estimated Jaccard ≥ threshold (greedy min-id winner — one
+    connected-component hop, which removes every doc that has a smaller
+    near-duplicate; full transitive closure would need iteration)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    losers = (
+        pairs.where(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash(text: Column, num_bits: int = 64) -> Column:
+    """SimHash fingerprint: sign-sum of per-token hash bits.
+
+    Vectorized trick: for each bit position b, sum over tokens of
+    (+1 if bit set else −1) via aggregate() over the token array; bit b
+    of the fingerprint = (sum > 0). All inside one JVM expression."""
+    words = F.filter(F.split(F.lower(text), r"[^\p{L}\p{N}]+"), lambda w: w != "")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    def bit(b: int) -> Column:
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b if b < 63 else -(1 << 63))) != 0, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1 << b if b < 63 else -(1 << 63))).otherwise(0)
+    out = F.lit(0).cast("long")
+    for b in range(num_bits):
+        out = out.bitwiseOR(bit(b).cast("long"))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates by SimHash: block on 4 x 16-bit fingerprint
+    chunks (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks equal),
+    then filter exact hamming distance ≤ max_hamming."""
+    fp = simhash(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), fp.alias("fp"))
+    chunks = base.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("fp", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "fp", "cc.chunk", "cc.key")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    text_a: Column,
+    text_b: Column,
+    n: int = 3,
+) -> Column:
+    """Exact word-n-gram Jaccard between two text columns (for verifying
+    LSH candidates): |A∩B| / |A∪B| via array_intersect/array_union."""
+    a, b = shingles(text_a, n), shingles(text_b, n)
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, 0.0).otherwise(inter / union)

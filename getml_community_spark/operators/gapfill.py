@@ -1,0 +1,95 @@
+"""Gap-fill: densify irregular per-source rollup series onto a regular
+bucket spine.
+
+The reference has no explicit gap-fill (it aggregates sliding windows
+directly), but our north rule requires dense tiers: a (source, bucket)
+with no events must exist with cnt=0, sum=0, min/max NULL
+(FIXTURES.md §2 ``gapfill_golden``).
+
+Spark-first: the spine is ``sequence(min_bucket, max_bucket, interval)``
+exploded per source — pure JVM, no Python. The left join back onto the
+aggregate runs on the same (source, bucket_start) keys the aggregate was
+just shuffled on, so AQE plans it without re-shuffling the large side;
+the spine side is tiny (sources × buckets) relative to raw data.
+
+An ``applyInPandas`` variant does per-source linear interpolation for
+value columns — the stateful-custom-operator escape hatch (Arrow-
+vectorized, grouped by source: each group is one pandas frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["gapfill", "gapfill_interpolated"]
+
+
+def _spine(agg: DataFrame, tier_seconds: int, per_source: bool) -> DataFrame:
+    interval = f"interval {tier_seconds} seconds"
+    if per_source:
+        bounds = agg.groupBy("source").agg(
+            F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+        )
+    else:
+        g = agg.agg(
+            F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+        )
+        bounds = agg.select("source").distinct().crossJoin(F.broadcast(g))
+    return bounds.select(
+        "source",
+        F.explode(F.expr(f"sequence(lo, hi, {interval})")).alias("bucket_start"),
+    )
+
+
+def gapfill(
+    agg: DataFrame,
+    tier_seconds: int = 60,
+    per_source: bool = True,
+    zero_cols: tuple[str, ...] = ("cnt", "sum_n_tok"),
+    null_cols: tuple[str, ...] = ("min_n_tok", "max_n_tok"),
+    rate_col: str | None = "rate",
+) -> DataFrame:
+    """Densify a rollup table. Gap rows get cnt=0/sum=0/rate=0 and NULL
+    min/max. ``per_source=False`` uses the global [min, max] span for
+    every source (useful when sources must align for cascades).
+    """
+    spine = _spine(agg, tier_seconds, per_source)
+    out = spine.join(agg, ["source", "bucket_start"], "left")
+    for c in zero_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    if rate_col and rate_col in agg.columns:
+        out = out.withColumn(rate_col, F.coalesce(F.col(rate_col), F.lit(0.0)))
+    # null_cols stay NULL — listed for schema documentation
+    _ = null_cols
+    return out
+
+
+def gapfill_interpolated(
+    agg: DataFrame,
+    tier_seconds: int = 60,
+    value_cols: tuple[str, ...] = ("rate",),
+) -> DataFrame:
+    """Dense spine + per-source LINEAR INTERPOLATION of value columns
+    across gaps (pandas ``interpolate`` inside ``applyInPandas``).
+
+    Grouped by source → each source's series is one Arrow batch in one
+    pandas frame; no per-row Python. At scale the group count (≤ number
+    of sources) bounds task parallelism, so this path is for
+    moderate-cardinality source sets; the pure-JVM :func:`gapfill` is
+    the default.
+    """
+    import pandas as pd
+
+    dense = gapfill(agg, tier_seconds)
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in dense.schema)
+
+    def interp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_start").reset_index(drop=True)
+        mask = pdf["cnt"] == 0
+        for c in value_cols:
+            s = pdf[c].astype("float64")
+            s[mask] = float("nan")
+            pdf[c] = s.interpolate(method="linear", limit_direction="both")
+        return pdf
+
+    return dense.groupBy("source").applyInPandas(interp, schema=fields)

