@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or a
+training-data-pipeline extension) implemented by getml_community_spark;
+``oracle_sql()`` carries the DuckDB-equivalent SQL. Float outputs are
+rounded to 6 decimals ON BOTH SIDES so the driver's value-hash compares
+deterministic digits, not fp summation order.
 """
 
 from __future__ import annotations
@@ -12,27 +12,771 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
 
 
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r(col, n=6):
+    return F.round(col, n)
+
+
+# --------------------------------------------------------------------- #
+# rollup family (events: user_id plays `source`, value plays the metric)
+# --------------------------------------------------------------------- #
+def q_rollup_1m(spark, sf):
+    from getml_community_spark.operators.rollup import rollup_from_raw
+
+    ev = _load(spark, sf, "events")
+    agg = rollup_from_raw(ev, "1m", source_col="user_id", ts_col="ts", value_col="value")
+    return agg.select(
+        F.col("source").alias("user_id"),
+        "bucket_start",
+        "cnt",
+        _r(F.col("sum_n_tok")).alias("sum_value"),
+        _r(F.col("min_n_tok")).alias("min_value"),
+        _r(F.col("max_n_tok")).alias("max_value"),
+        _r(F.col("rate")).alias("rate"),
+    )
+
+
+def q_rollup_1h_cascade(spark, sf):
+    from getml_community_spark.operators.rollup import rollup_cascade, rollup_from_raw
+
+    ev = _load(spark, sf, "events")
+    agg1m = rollup_from_raw(ev, "1m", source_col="user_id", ts_col="ts", value_col="value")
+    agg1h = rollup_cascade(agg1m, "1h")
+    return agg1h.select(
+        F.col("source").alias("user_id"),
+        "bucket_start",
+        "cnt",
+        _r(F.col("sum_n_tok")).alias("sum_value"),
+        _r(F.col("min_n_tok")).alias("min_value"),
+        _r(F.col("max_n_tok")).alias("max_value"),
+        _r(F.col("rate")).alias("rate"),
+    )
+
+
+def q_rollup_1d_cascade(spark, sf):
+    from getml_community_spark.operators.rollup import rollup_cascade, rollup_from_raw
+
+    ev = _load(spark, sf, "events")
+    agg = rollup_cascade(
+        rollup_cascade(
+            rollup_from_raw(ev, "1m", source_col="user_id", ts_col="ts", value_col="value"),
+            "1h",
+        ),
+        "1d",
+    )
+    return agg.select(
+        F.col("source").alias("user_id"),
+        "bucket_start",
+        "cnt",
+        _r(F.col("sum_n_tok")).alias("sum_value"),
+        _r(F.col("rate")).alias("rate"),
+    )
+
+
+def q_salted_rollup_1h(spark, sf):
+    """Salted two-stage aggregation — must equal the plain rollup."""
+    from getml_community_spark.operators.rollup import salted_rollup
+
+    ev = _load(spark, sf, "events").withColumn("doc_id", F.col("event_id").cast("string"))
+    agg = salted_rollup(ev, "1h", salt_buckets=8, source_col="user_id", ts_col="ts", value_col="value")
+    return agg.select(
+        F.col("source").alias("user_id"),
+        "bucket_start",
+        "cnt",
+        _r(F.col("sum_n_tok")).alias("sum_value"),
+    )
+
+
+def q_gapfill_1h(spark, sf):
+    from getml_community_spark.operators.gapfill import gapfill
+    from getml_community_spark.operators.rollup import rollup_from_raw
+
+    ev = _load(spark, sf, "events")
+    agg = rollup_from_raw(ev, "1h", source_col="user_id", ts_col="ts", value_col="value")
+    dense = gapfill(agg, 3600)
+    return dense.select(
+        F.col("source").alias("user_id"),
+        "bucket_start",
+        "cnt",
+        _r(F.col("sum_n_tok")).alias("sum_value"),
+        _r(F.col("rate")).alias("rate"),
+    )
+
+
+def q_battery_1h(spark, sf):
+    """Extended aggregation battery per (user_id, hour bucket) — one
+    single-pass groupBy (SURVEY.md §2.6)."""
+    from getml_community_spark.operators.aggregates import battery
+
+    ev = _load(spark, sf, "events")
+    t = F.col("ts").cast("timestamp").cast("double")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    t_ref = bucket.cast("double") + F.lit(3600.0)
+    aggs = battery(
+        F.col("value"),
+        ts=t,
+        t_ref=t_ref,
+        tiebreak=F.col("event_id"),
+        include={
+            "count", "sum", "avg", "min", "max", "median", "q25", "q75",
+            "q90", "stddev_pop", "var_pop", "count_distinct", "first",
+            "last", "avg_time_between", "trend", "ewma_1h",
+            "variation_coefficient",
+        },
+    )
+    out = ev.groupBy(F.col("user_id"), bucket.alias("bucket_start")).agg(*aggs)
+    keep = [c for c in out.columns if c not in ("user_id", "bucket_start")]
+    return out.select(
+        "user_id",
+        "bucket_start",
+        F.col("count").cast("long").alias("cnt"),
+        *[_r(F.col(c)).alias(c) for c in keep if c != "count"],
+    )
+
+
+def q_ewma_trend_1h(spark, sf):
+    from getml_community_spark.operators.aggregates import ewma_trend_agg
+
+    ev = (
+        _load(spark, sf, "events")
+        .withColumn("bucket_start", F.date_trunc("hour", F.col("ts")))
+        .withColumn("t", F.col("ts").cast("timestamp").cast("double"))
+        .withColumn("tref", F.col("bucket_start").cast("double") + 3600.0)
+    )
+    out = ewma_trend_agg(
+        ev, ["user_id", "bucket_start"], "value", "t", "tref",
+        half_lives={"1h": 3600.0},
+    )
+    return out.select(
+        "user_id", "bucket_start", _r(F.col("ewma_trend_1h")).alias("ewma_trend_1h")
+    )
+
+
+def q_two_pass_1h(spark, sf):
+    from getml_community_spark.operators.aggregates import two_pass_battery
+
+    ev = _load(spark, sf, "events").withColumn(
+        "bucket_start", F.date_trunc("hour", F.col("ts"))
+    )
+    return two_pass_battery(ev, ["user_id", "bucket_start"], "value").select(
+        "user_id",
+        "bucket_start",
+        F.col("num_max").cast("long").alias("num_max"),
+        F.col("num_min").cast("long").alias("num_min"),
+        F.col("count_above_mean").cast("long").alias("count_above_mean"),
+        F.col("count_below_mean").cast("long").alias("count_below_mean"),
+    )
+
+
+def q_mode_1h(spark, sf):
+    from getml_community_spark.operators.aggregates import mode_agg
+
+    ev = _load(spark, sf, "events").withColumn(
+        "bucket_start", F.date_trunc("hour", F.col("ts"))
+    )
+    out = mode_agg(ev, ["user_id", "bucket_start"], "value")
+    return out.select("user_id", "bucket_start", _r(F.col("mode")).alias("mode"))
+
+
+def q_gorilla_roundtrip_1m(spark, sf):
+    """End-to-end: 1m rollup → Gorilla encode (pandas UDF) → decode →
+    points; must equal the rollup computed directly in SQL."""
+    from getml_community_spark.functions.gorilla import (
+        compress_rollup,
+        decompress_segments,
+    )
+    from getml_community_spark.operators.rollup import rollup_from_raw
+
+    ev = _load(spark, sf, "events")
+    agg = rollup_from_raw(ev, "1m", source_col="user_id", ts_col="ts", value_col="value")
+    segs = compress_rollup(agg, ts_col="bucket_start", value_col="rate", source_col="source")
+    back = decompress_segments(segs)
+    return back.select(
+        F.col("source").alias("user_id"),
+        F.col("ts").alias("bucket_epoch"),
+        _r(F.col("value")).alias("rate"),
+    )
+
+
+# --------------------------------------------------------------------- #
+# joins / staging
+# --------------------------------------------------------------------- #
+def q_asof_orders_events(spark, sf):
+    """The representative reference-shaped query (FIXTURES.md §3):
+    as-of window join orders←events + battery."""
+    from getml_community_spark.operators.asof_join import asof_features
+
+    orders = _load(spark, sf, "orders")
+    events = _load(spark, sf, "events").withColumnRenamed("user_id", "o_custkey")
+    feats = asof_features(
+        orders,
+        events,
+        on="o_custkey",
+        population_id="o_orderkey",
+        pop_ts="o_orderdate",
+        peri_ts="ts",
+        value_col="value",
+        horizon=3600.0,
+        memory=7 * 86400.0 - 3600.0,
+        include={"count", "sum", "avg", "min", "max", "median", "q90",
+                 "stddev_pop", "first", "last"},
+    )
+    return feats.select(
+        "o_orderkey",
+        F.col("count").cast("long").alias("cnt"),
+        _r(F.col("sum")).alias("sum"),
+        _r(F.col("avg")).alias("avg"),
+        _r(F.col("min")).alias("min"),
+        _r(F.col("max")).alias("max"),
+        _r(F.col("median")).alias("median"),
+        _r(F.col("q90")).alias("q90"),
+        _r(F.col("stddev_pop")).alias("stddev_pop"),
+        _r(F.col("first")).alias("first"),
+        _r(F.col("last")).alias("last"),
+    )
+
+
+def q_staging_join(spark, sf):
+    """Many-to-one staging join (reference staging.cpp:146-229):
+    orders ← customer dim (broadcast), revenue per market segment."""
+    orders = _load(spark, sf, "orders")
+    cust = _load(spark, sf, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r(F.sum("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1-shaped pricing summary over lineitem (classic multi-agg
+    single-shuffle groupBy)."""
+    li = _load(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity")).alias("sum_qty"),
+            _r(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _r(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            ).alias("sum_charge"),
+            _r(F.avg("l_quantity")).alias("avg_qty"),
+            _r(F.avg("l_extendedprice")).alias("avg_price"),
+            _r(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_concat_union(spark, sf):
+    """concat/append (§2.2, union by name — concat.py:24-36)."""
+    ev = _load(spark, sf, "events")
+    a = ev.where(F.col("value") > 0)
+    b = ev.where(F.col("value") <= 0)
+    return (
+        a.unionByName(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _r(F.sum("value")).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------- #
+# view ops / scalar expressions / preprocessors
+# --------------------------------------------------------------------- #
+def q_scalar_expressions(spark, sf):
+    """§2.3 expression surface: arithmetic/rounding/transcendental/
+    timestamp extraction/casts/boolean, per orders row."""
+    from getml_community_spark.functions.scalar import weekday, yearday
+
+    o = _load(spark, sf, "orders")
+    p = F.col("o_totalprice")
+    t = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        _r(F.abs(-p)).alias("abs_p"),
+        F.ceil(p).cast("double").alias("ceil_p"),
+        F.floor(p).cast("double").alias("floor_p"),
+        _r(F.pow(p, F.lit(0.5))).alias("pow_half"),
+        _r(F.sqrt(p)).alias("sqrt_p"),
+        _r(F.log(p)).alias("ln_p"),
+        _r(F.exp(p / F.lit(100000.0))).alias("exp_scaled"),
+        _r(F.sin(p / F.lit(1000.0))).alias("sin_p"),
+        _r(p % F.lit(7.0)).alias("fmod7"),
+        F.year(t).alias("yr"),
+        F.month(t).alias("mon"),
+        F.dayofmonth(t).alias("dom"),
+        F.hour(t).alias("hr"),
+        weekday(t).cast("int").alias("dow"),
+        yearday(t).cast("int").alias("doy"),
+        (p > 100000.0).cast("int").alias("gt_100k"),
+        F.when(p > 100000.0, F.lit("big")).otherwise(F.lit("small")).alias("bucketed"),
+    )
+
+
+def q_subselection_slice(spark, sf):
+    """Positional subselection (§2.2 slicing, columns.py:1673-1732):
+    rows 100..199 in o_orderkey order."""
+    from pyspark.sql import Window
+
+    o = _load(spark, sf, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") > 100) & (F.col("__rn") <= 200))
+        .select("o_orderkey", "o_custkey", _r(F.col("o_totalprice")).alias("o_totalprice"))
+    )
+
+
+def q_seasonal(spark, sf):
+    """Seasonal preprocessor (§2.8): event counts by hour-of-day ×
+    weekday."""
+    from getml_community_spark.functions.preprocessors import seasonal
+
+    ev = seasonal(_load(spark, sf, "events"), "ts", prefix="s_")
+    return (
+        ev.groupBy("s_hour", "s_weekday")
+        .agg(F.count(F.lit(1)).alias("n"), _r(F.avg("value")).alias("avg_value"))
+        .orderBy("s_hour", "s_weekday")
+    )
+
+
+def q_imputation(spark, sf):
+    """Imputation preprocessor: null-out a band of values, mean-impute,
+    emit dummies (§2.8 Imputation.cpp)."""
+    from getml_community_spark.functions.preprocessors import impute
+
+    ev = _load(spark, sf, "events").withColumn(
+        "v", F.when(F.col("value") > 1.5, None).otherwise(F.col("value"))
+    )
+    out, _ = impute(ev, ["v"], add_dummies=True)
+    return out.select(
+        "event_id", _r(F.col("v")).alias("v_imputed"), F.col("v__imputed").cast("int").alias("was_null")
+    )
+
+
+def q_category_trim(spark, sf):
+    """CategoryTrimmer (§2.8): keep top-2 event types, rest → 'trimmed'."""
+    from getml_community_spark.functions.preprocessors import category_trim
+
+    ev = _load(spark, sf, "events")
+    out, _ = category_trim(ev, "event_type", top_k=2)
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------- #
+# training-data pipeline: dedup / similarity / text
+# --------------------------------------------------------------------- #
+def q_exact_dedup(spark, sf):
+    from getml_community_spark.operators.dedup import exact_dedup
+
+    docs = _load(spark, sf, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "dup_count")
+
+
+def q_text_stats(spark, sf):
+    from getml_community_spark.operators.textstats import text_stats
+
+    docs = _load(spark, sf, "documents")
+    return text_stats(docs, "text", "doc_id").select(
+        "doc_id", "n_words", "n_chars"
+    )
+
+
+def q_vocabulary(spark, sf):
+    from getml_community_spark.operators.textstats import vocabulary
+
+    docs = _load(spark, sf, "documents")
+    return vocabulary(docs, "text", min_df=5, max_size=200)
+
+
+def q_brute_topk(spark, sf):
+    from getml_community_spark.operators.similarity import brute_force_topk
+
+    embs = _load(spark, sf, "embeddings")
+    queries = embs.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(embs, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", _r(F.col("score"), 5).alias("score"), "rank"
+    )
+
+
+def q_minhash_dedup(spark, sf):
+    """MinHash+LSH near-dedup (rows-only check: xxhash64 signatures are
+    not reproducible in SQL)."""
+    from getml_community_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _load(spark, sf, "documents")
+    return minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.8).select(
+        "doc_id", "source"
+    )
+
+
+def q_simhash_pairs(spark, sf):
+    """SimHash near-dup candidate pairs (rows-only)."""
+    from getml_community_spark.operators.dedup import simhash_pairs
+
+    docs = _load(spark, sf, "documents")
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=8)
+
+
+def q_lsh_topk(spark, sf):
+    """SRP-LSH approximate similarity (rows-only: random planes)."""
+    from getml_community_spark.operators.similarity import lsh_topk
+
+    embs = _load(spark, sf, "embeddings")
+    queries = embs.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(embs, queries, dim=64, k=5, num_planes=10, num_tables=8)
+
+
+# --------------------------------------------------------------------- #
+# contract functions
+# --------------------------------------------------------------------- #
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tiered rollup with gap-fill over events at sf0.001."""
+    return q_gapfill_1h(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h_cascade": q_rollup_1h_cascade,
+        "rollup_1d_cascade": q_rollup_1d_cascade,
+        "salted_rollup_1h": q_salted_rollup_1h,
+        "gapfill_1h": q_gapfill_1h,
+        "battery_1h": q_battery_1h,
+        "ewma_trend_1h": q_ewma_trend_1h,
+        "two_pass_1h": q_two_pass_1h,
+        "mode_1h": q_mode_1h,
+        "gorilla_roundtrip_1m": q_gorilla_roundtrip_1m,
+        "asof_orders_events": q_asof_orders_events,
+        "staging_join": q_staging_join,
+        "pricing_summary": q_pricing_summary,
+        "concat_union": q_concat_union,
+        "scalar_expressions": q_scalar_expressions,
+        "subselection_slice": q_subselection_slice,
+        "seasonal": q_seasonal,
+        "imputation": q_imputation,
+        "category_trim": q_category_trim,
+        "exact_dedup": q_exact_dedup,
+        "text_stats": q_text_stats,
+        "vocabulary": q_vocabulary,
+        "brute_topk": q_brute_topk,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_topk": q_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    core_rollup = """
+    SELECT user_id,
+           date_trunc('{unit}', ts) AS bucket_start,
+           count(value) AS cnt,
+           round(sum(value), 6) AS sum_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           round(sum(value) / {secs}.0, 6) AS rate
+    FROM events GROUP BY 1, 2
     """
-    return {}
+    return {
+        "rollup_1m": core_rollup.format(unit="minute", secs=60),
+        "rollup_1h_cascade": core_rollup.format(unit="hour", secs=3600),
+        "rollup_1d_cascade": """
+            SELECT user_id, date_trunc('day', ts) AS bucket_start,
+                   count(value) AS cnt,
+                   round(sum(value), 6) AS sum_value,
+                   round(sum(value) / 86400.0, 6) AS rate
+            FROM events GROUP BY 1, 2
+        """,
+        "salted_rollup_1h": """
+            SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+                   count(value) AS cnt, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "gapfill_1h": """
+            WITH agg AS (
+              SELECT user_id, date_trunc('hour', ts) AS b,
+                     count(value) AS cnt, sum(value) AS sv
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT user_id, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1
+            ), spine AS (
+              SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+              FROM bounds
+            )
+            SELECT s.user_id, s.bucket_start,
+                   coalesce(a.cnt, 0) AS cnt,
+                   round(coalesce(a.sv, 0), 6) AS sum_value,
+                   round(coalesce(a.sv, 0) / 3600.0, 6) AS rate
+            FROM spine s LEFT JOIN agg a
+              ON a.user_id = s.user_id AND a.b = s.bucket_start
+        """,
+        "battery_1h": """
+            SELECT user_id,
+                   date_trunc('hour', ts) AS bucket_start,
+                   count(value) AS cnt,
+                   round(coalesce(sum(value), 0), 6) AS sum,
+                   round(avg(value), 6) AS avg,
+                   round(min(value), 6) AS min,
+                   round(max(value), 6) AS max,
+                   round(median(value), 6) AS median,
+                   round(quantile_cont(value, 0.25), 6) AS q25,
+                   round(quantile_cont(value, 0.75), 6) AS q75,
+                   round(quantile_cont(value, 0.90), 6) AS q90,
+                   round(stddev_pop(value), 6) AS stddev_pop,
+                   round(var_pop(value), 6) AS var_pop,
+                   cast(count(DISTINCT value) AS double) AS count_distinct,
+                   round(arg_min(value, ts), 6) AS first,
+                   round(arg_max(value, ts), 6) AS last,
+                   round(CASE WHEN count(ts) <= 1 THEN 0.0
+                         ELSE (max(epoch(ts)) - min(epoch(ts))) / (count(ts) - 1)
+                         END, 6) AS avg_time_between,
+                   round(CASE WHEN var_pop(epoch(date_trunc('hour', ts)) + 3600 - epoch(ts)) = 0
+                         THEN avg(value)
+                         ELSE avg(value)
+                              - avg(epoch(date_trunc('hour', ts)) + 3600 - epoch(ts))
+                              * (covar_pop(epoch(date_trunc('hour', ts)) + 3600 - epoch(ts), value)
+                                 / var_pop(epoch(date_trunc('hour', ts)) + 3600 - epoch(ts)))
+                         END, 6) AS trend,
+                   round(sum(exp(ln(0.5) * (epoch(date_trunc('hour', ts)) + 3600 - epoch(ts)) / 3600.0) * value)
+                         / sum(exp(ln(0.5) * (epoch(date_trunc('hour', ts)) + 3600 - epoch(ts)) / 3600.0)), 6)
+                         AS ewma_1h,
+                   round(CASE WHEN avg(value) = 0 THEN NULL
+                         ELSE var_pop(value) / avg(value) END, 6) AS variation_coefficient
+            FROM events GROUP BY 1, 2
+        """,
+        "ewma_trend_1h": """
+            WITH base AS (
+              SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+                     epoch(date_trunc('hour', ts)) + 3600 - epoch(ts) AS dt,
+                     value AS v,
+                     exp(ln(0.5) * (epoch(date_trunc('hour', ts)) + 3600 - epoch(ts)) / 3600.0) AS w
+              FROM events
+            ), m AS (
+              SELECT user_id, bucket_start,
+                     sum(w) AS sw,
+                     sum(w * dt) / sum(w) AS mx,
+                     sum(w * v) / sum(w) AS my,
+                     var_pop(dt) AS vx
+              FROM base GROUP BY 1, 2
+            ), c AS (
+              SELECT b.user_id, b.bucket_start,
+                     sum(b.w * (b.dt - m.mx) * (b.dt - m.mx)) AS xx,
+                     sum(b.w * (b.dt - m.mx) * (b.v - m.my)) AS xy,
+                     any_value(m.sw) AS sw, any_value(m.mx) AS mx,
+                     any_value(m.my) AS my, any_value(m.vx) AS vx
+              FROM base b JOIN m USING (user_id, bucket_start)
+              GROUP BY 1, 2
+            )
+            SELECT user_id, bucket_start,
+                   round(CASE WHEN sw IS NULL OR sw = 0 THEN NULL
+                         WHEN xx = 0 OR vx = 0 THEN my
+                         ELSE my - mx * (xy / xx) END, 6) AS ewma_trend_1h
+            FROM c
+        """,
+        "two_pass_1h": """
+            WITH s AS (
+              SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+                     max(value) AS mx, min(value) AS mn, avg(value) AS mean
+              FROM events GROUP BY 1, 2
+            )
+            SELECT e.user_id, date_trunc('hour', e.ts) AS bucket_start,
+                   sum(CASE WHEN e.value = s.mx THEN 1 ELSE 0 END) AS num_max,
+                   sum(CASE WHEN e.value = s.mn THEN 1 ELSE 0 END) AS num_min,
+                   sum(CASE WHEN e.value > s.mean THEN 1 ELSE 0 END) AS count_above_mean,
+                   sum(CASE WHEN e.value < s.mean THEN 1 ELSE 0 END) AS count_below_mean
+            FROM events e JOIN s
+              ON s.user_id = e.user_id AND s.bucket_start = date_trunc('hour', e.ts)
+            GROUP BY 1, 2
+        """,
+        "mode_1h": """
+            SELECT user_id, bucket_start, round(value, 6) AS mode FROM (
+              SELECT user_id, date_trunc('hour', ts) AS bucket_start, value,
+                     count(*) AS c
+              FROM events GROUP BY 1, 2, 3
+            )
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id, bucket_start ORDER BY c DESC, value DESC
+            ) = 1
+        """,
+        "gorilla_roundtrip_1m": """
+            SELECT cast(user_id AS varchar) AS user_id,
+                   cast(epoch(date_trunc('minute', ts)) AS bigint) AS bucket_epoch,
+                   round(sum(value) / 60.0, 6) AS rate
+            FROM events GROUP BY 1, 2
+        """,
+        "asof_orders_events": """
+            SELECT o.o_orderkey,
+                   count(e.value) AS cnt,
+                   round(coalesce(sum(e.value), 0.0), 6) AS sum,
+                   round(avg(e.value), 6) AS avg,
+                   round(min(e.value), 6) AS min,
+                   round(max(e.value), 6) AS max,
+                   round(median(e.value), 6) AS median,
+                   round(quantile_cont(e.value, 0.90), 6) AS q90,
+                   round(stddev_pop(e.value), 6) AS stddev_pop,
+                   round(arg_min(e.value, epoch(e.ts)), 6) AS first,
+                   round(arg_max(e.value, epoch(e.ts)), 6) AS last
+            FROM orders o LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND epoch(e.ts) <= epoch(o.o_orderdate) - 3600
+             AND epoch(e.ts) >  epoch(o.o_orderdate) - 604800
+            GROUP BY 1
+        """,
+        "staging_join": """
+            SELECT c.c_mktsegment, count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 6) AS revenue
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "concat_union": """
+            SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "scalar_expressions": """
+            SELECT o_orderkey,
+                   round(abs(-o_totalprice), 6) AS abs_p,
+                   cast(ceil(o_totalprice) AS double) AS ceil_p,
+                   cast(floor(o_totalprice) AS double) AS floor_p,
+                   round(pow(o_totalprice, 0.5), 6) AS pow_half,
+                   round(sqrt(o_totalprice), 6) AS sqrt_p,
+                   round(ln(o_totalprice), 6) AS ln_p,
+                   round(exp(o_totalprice / 100000.0), 6) AS exp_scaled,
+                   round(sin(o_totalprice / 1000.0), 6) AS sin_p,
+                   round(fmod(o_totalprice, 7.0), 6) AS fmod7,
+                   cast(year(o_orderdate) AS int) AS yr,
+                   cast(month(o_orderdate) AS int) AS mon,
+                   cast(day(o_orderdate) AS int) AS dom,
+                   cast(hour(o_orderdate) AS int) AS hr,
+                   cast(dayofweek(o_orderdate) AS int) AS dow,
+                   cast(dayofyear(o_orderdate) AS int) AS doy,
+                   CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END AS gt_100k,
+                   CASE WHEN o_totalprice > 100000.0 THEN 'big' ELSE 'small' END AS bucketed
+            FROM orders
+        """,
+        "subselection_slice": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice
+            FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 100
+        """,
+        "seasonal": """
+            SELECT cast(hour(ts) AS varchar) AS s_hour,
+                   cast(dayofweek(ts) AS varchar) AS s_weekday,
+                   count(*) AS n, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "imputation": """
+            WITH nulled AS (
+              SELECT event_id,
+                     CASE WHEN value > 1.5 THEN NULL ELSE value END AS v
+              FROM events
+            ), m AS (SELECT avg(v) AS mu FROM nulled)
+            SELECT event_id,
+                   round(coalesce(v, (SELECT mu FROM m)), 6) AS v_imputed,
+                   CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_null
+            FROM nulled
+        """,
+        "category_trim": """
+            WITH top2 AS (
+              SELECT event_type FROM events GROUP BY 1
+              ORDER BY count(*) DESC, event_type ASC LIMIT 2
+            )
+            SELECT CASE WHEN e.event_type IN (SELECT event_type FROM top2)
+                        THEN e.event_type ELSE 'trimmed' END AS event_type,
+                   count(*) AS n
+            FROM events e GROUP BY 1 ORDER BY 1
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM (SELECT doc_id,
+                         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+                  FROM documents)
+            GROUP BY norm
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                                   x -> x <> '')) AS n_words,
+                   length(text) AS n_chars
+            FROM documents
+        """,
+        "vocabulary": """
+            WITH words AS (
+              SELECT doc_id, unnest(list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9'']+'),
+                       x -> x <> ''))) AS word
+              FROM documents
+            )
+            SELECT word, count(*) AS doc_freq FROM words
+            GROUP BY 1 HAVING count(*) >= 5
+            ORDER BY doc_freq DESC, word ASC LIMIT 200
+        """,
+        "brute_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings ORDER BY vec_id LIMIT 5
+            ), scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding, q.qv) AS score
+              FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, round(score, 5) AS score,
+                   cast(row_number() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+                   ) AS int) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        # minhash_dedup / simhash_pairs / lsh_topk: rows-only (seeded
+        # xxhash64 / random hyperplanes are not reproducible in SQL)
+    }
+
+
+if __name__ == "__main__":
+    from getml_community_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=8)
+    df = entry(spark)
+    print("entry rows:", df.count())
+    df.show(5)

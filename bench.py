@@ -1,0 +1,144 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <hot-path wall sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>, "tokens_per_sec": ...}
+
+Two parts:
+1. HOT PATH — the north-rule pipeline over the synthesized tokenized
+   corpus (datagen, FIXTURES.md §1): parquet scan → 1m rollup →
+   1h/1d cascade → gap-fill → Gorilla-encode — timed end-to-end;
+   throughput reported as tokens/sec (Σ n_tok / wall).
+2. HEADLINE QUERIES — a subset of __spark_entry__.queries() at
+   $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), per-query wall
+   seconds.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (local[n]),
+SPARK_GRAFT_BENCH_N (corpus rows, default 2_000_000),
+SPARK_GRAFT_BENCH_DIR (corpus cache dir, default /tmp/gcs_bench).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "rollup_1m",
+    "rollup_1h_cascade",
+    "rollup_1d_cascade",
+    "gapfill_1h",
+    "battery_1h",
+    "gorilla_roundtrip_1m",
+    "asof_orders_events",
+    "pricing_summary",
+    "exact_dedup",
+    "text_stats",
+    "brute_topk",
+    "minhash_dedup",
+]
+
+
+def _ensure_corpus(spark, n: int, path: str) -> None:
+    marker = os.path.join(path, "_SUCCESS_N")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == str(n):
+                return
+    from getml_community_spark.datagen import write_corpus_parquet
+
+    write_corpus_parquet(spark, n, path, with_tokens=False)
+    with open(marker, "w") as f:
+        f.write(str(n))
+
+
+def run_hot_path(spark, corpus_path: str) -> dict:
+    """The Gorilla-encode + windowed-aggregate hot path, timed."""
+    from pyspark.sql import functions as F
+
+    from getml_community_spark.functions.gorilla import compress_rollup
+    from getml_community_spark.operators.gapfill import gapfill
+    from getml_community_spark.operators.rollup import (
+        rollup_cascade,
+        rollup_from_raw,
+    )
+
+    df = spark.read.parquet(corpus_path)
+    t0 = time.time()
+    agg1m = rollup_from_raw(df, "1m")
+    agg1m.persist()
+    agg1h = rollup_cascade(agg1m, "1h")
+    agg1d = rollup_cascade(agg1h, "1d")
+    dense = gapfill(agg1h, 3600)
+    segs = compress_rollup(agg1m, value_col="rate")
+    stats = segs.agg(
+        F.sum("n_points").alias("pts"), F.sum("bytes_compressed").alias("bc"),
+        F.sum("bytes_raw").alias("br"),
+    ).collect()[0]
+    n_1d = agg1d.count()
+    n_dense = dense.count()
+    wall = time.time() - t0
+    toks = df.agg(F.sum("n_tok")).collect()[0][0]
+    agg1m.unpersist()
+    return {
+        "wall_sec": wall,
+        "tokens": int(toks),
+        "tokens_per_sec": toks / wall,
+        "rows_1d": n_1d,
+        "rows_dense_1h": n_dense,
+        "gorilla_points": int(stats["pts"]),
+        "gorilla_bytes": int(stats["bc"]),
+        "gorilla_ratio": float(stats["br"]) / float(stats["bc"]),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_n = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2000000"))
+    bench_dir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/gcs_bench")
+    corpus_path = os.path.join(bench_dir, f"corpus_{bench_n}")
+
+    from getml_community_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    _ensure_corpus(spark, bench_n, corpus_path)
+    hot = run_hot_path(spark, corpus_path)
+
+    import __spark_entry__ as entrymod
+
+    qtimes: dict[str, float] = {}
+    qs = entrymod.queries()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    print(
+        json.dumps(
+            {
+                "metric": "rollup_hot_path_wall_sec",
+                "value": round(hot["wall_sec"], 3),
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf,
+                "tokens_per_sec": round(hot["tokens_per_sec"]),
+                "tokens": hot["tokens"],
+                "bench_rows": bench_n,
+                "cpus": cpus,
+                "gorilla_ratio": round(hot["gorilla_ratio"], 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -296,9 +296,10 @@ def compress_rollup(
         )
 
     prep = agg.select(
-        F.col(source_col).alias("source"),
+        F.col(source_col).cast("string").alias("source"),
         F.to_date(ts_col).alias("__day"),
-        F.col(ts_col).cast("long").alias("__ts"),
+        # NTZ timestamps need the hop through TIMESTAMP before long
+        F.col(ts_col).cast("timestamp").cast("long").alias("__ts"),
         F.col(value_col).cast("double").alias("__val"),
     )
     return prep.groupBy("source", "__day").applyInPandas(kernel, COMPRESSED_SCHEMA)

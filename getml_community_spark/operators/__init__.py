@@ -1,1 +1,10 @@
-from . import aggregates, gapfill, rollup  # noqa: F401
+from . import (  # noqa: F401
+    aggregates,
+    asof_join,
+    dedup,
+    gapfill,
+    multimodal,
+    rollup,
+    similarity,
+    textstats,
+)

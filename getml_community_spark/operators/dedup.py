@@ -59,7 +59,7 @@ def shingles(text: Column, n: int = 5) -> Column:
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(0), k - 1)
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, F.lit(n))))
     )
 
 
@@ -72,12 +72,13 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
     """MinHash signature: per hash function, min over the shingle set of
     xxhash64(shingle, seed_i) (array<long>, length num_hashes).
     array_min over a transform — no explode, no shuffle."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda s, i=i: _hash_family(s, i)))
-            for i in range(num_hashes)
-        ]
-    )
+    def _one(seed: int):
+        # NB: the inner lambda must take exactly ONE parameter —
+        # F.transform passes the array index to a second parameter,
+        # which would clobber a `seed=seed` default.
+        return F.array_min(F.transform(shingle_col, lambda s: _hash_family(s, seed)))
+
+    return F.array(*[_one(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(
@@ -234,12 +235,7 @@ def simhash_pairs(
     )
 
 
-def ngram_jaccard(
-    df: DataFrame,
-    text_a: Column,
-    text_b: Column,
-    n: int = 3,
-) -> Column:
+def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
     """Exact word-n-gram Jaccard between two text columns (for verifying
     LSH candidates): |A∩B| / |A∪B| via array_intersect/array_union."""
     a, b = shingles(text_a, n), shingles(text_b, n)

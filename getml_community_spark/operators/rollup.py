@@ -40,9 +40,18 @@ _TIER_TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
 CORE_AGG_COLS = ["cnt", "sum_n_tok", "min_n_tok", "max_n_tok", "rate"]
 
 
-def _core_aggs(value: str, tier_seconds: int) -> list:
+def _is_integral(df: DataFrame, col: str) -> bool:
+    t = dict(df.dtypes).get(col, "")
+    return t in ("tinyint", "smallint", "int", "bigint", "long")
+
+
+def _core_aggs(value: str, tier_seconds: int, integral: bool) -> list:
+    """Core aggs; sums keep an exact integer type for integral inputs
+    (the corpus n_tok path: bigint sums are exact at any scale) and
+    double otherwise."""
     v = F.col(value)
-    s = F.coalesce(F.sum(v), F.lit(0)).cast("long")
+    s = F.coalesce(F.sum(v), F.lit(0))
+    s = s.cast("long") if integral else s.cast("double")
     return [
         F.count(v).alias("cnt"),
         s.alias("sum_n_tok"),
@@ -71,7 +80,7 @@ def rollup_from_raw(
     w = F.window(F.col(ts_col), _TIER_INTERVAL[tier])
     return (
         df.groupBy(F.col(source_col).alias("source"), w.alias("w"))
-        .agg(*_core_aggs(value_col, sec))
+        .agg(*_core_aggs(value_col, sec, _is_integral(df, value_col)))
         .select(
             "source",
             F.col("w.start").alias("bucket_start"),
@@ -90,7 +99,9 @@ def rollup_cascade(lower: DataFrame, to_tier: str) -> DataFrame:
     """
     sec = TIER_SECONDS[to_tier]
     bucket = F.date_trunc(_TIER_TRUNC[to_tier], F.col("bucket_start"))
-    s = F.coalesce(F.sum("sum_n_tok"), F.lit(0)).cast("long")
+    integral = _is_integral(lower, "sum_n_tok")
+    s = F.coalesce(F.sum("sum_n_tok"), F.lit(0))
+    s = s.cast("long") if integral else s.cast("double")
     return (
         lower.groupBy("source", bucket.alias("bucket_start"))
         .agg(
@@ -161,6 +172,7 @@ def salted_rollup(
     sec = TIER_SECONDS[tier]
     w = F.window(F.col(ts_col), _TIER_INTERVAL[tier])
     salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_buckets))
+    integral = _is_integral(df, value_col)
     v = F.col(value_col)
     partial = (
         df.groupBy(F.col(source_col).alias("source"), w.alias("w"), salt.alias("salt"))
@@ -171,7 +183,8 @@ def salted_rollup(
             F.max(v).alias("max_n_tok"),
         )
     )
-    s = F.coalesce(F.sum("sum_n_tok"), F.lit(0)).cast("long")
+    s = F.coalesce(F.sum("sum_n_tok"), F.lit(0))
+    s = s.cast("long") if integral else s.cast("double")
     return (
         partial.groupBy("source", "w")
         .agg(

@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute_force_topk: exact cosine top-k — the correctness baseline.
+  Dot products via ``F.aggregate``/``zip_with`` stay JVM-side; the
+  query set is broadcast (small side), so the scan parallelizes over
+  the corpus with NO shuffle of the big side; top-k per query via one
+  hash aggregation (min_by over a bounded heap would be better still,
+  but Spark's ``slice(sort_array(collect_list(...)))`` keeps state
+  ≤ candidates per query × partitions).
+- lsh_topk: random-hyperplane (SRP) LSH — the scale path. Corpus rows
+  hash into sign-pattern buckets; queries probe their bucket (+ optional
+  multi-probe variants); exact cosine re-ranks inside buckets only.
+
+At 100 TB the brute force is a full scan per query batch (fine for
+offline batch scoring with thousands of queries — one pass, broadcast
+queries); LSH bounds candidates for large query sets.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["cosine", "brute_force_topk", "srp_signature", "lsh_topk"]
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays — pure JVM expression."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return F.when((na == 0) | (nb == 0), 0.0).otherwise(dot / (na * nb))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: crossJoin(broadcast(queries)) → cosine →
+    top-k per query. Returns (query_id, vec_id, score, rank)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qvec"),
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
+    ).crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("__vec"), F.col("__qvec")).alias("score"),
+    )
+    # top-k per query: single hash agg; ties broken by vec_id asc for
+    # determinism. collect_list state is bounded by corpus rows per
+    # query; for huge corpora switch to a per-partition pre-topk below.
+    ranked = (
+        scored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("score"), F.negate(F.col("vec_id")).alias("nid"), F.col("vec_id"))),
+                    asc=False,
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select("query_id", F.posexplode("top").alias("rank", "t"))
+        .select(
+            "query_id",
+            F.col("t.vec_id").alias("vec_id"),
+            F.col("t.score").alias("score"),
+            (F.col("rank") + 1).alias("rank"),
+        )
+    )
+    return ranked
+
+
+def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection signature: bit i = (vec · plane_i) > 0.
+    Planes are literals (driver-generated, seeded) → pure JVM expression,
+    no UDF, no shuffle."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(0).cast("long"))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return sig
+
+
+def _random_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 12,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: `num_tables` independent SRP tables of
+    `num_planes` bits; candidates = bucket collisions in any table;
+    exact cosine re-rank. Shuffles only the (id, bucket) pairs and the
+    candidate set — never all-pairs."""
+    tables = [
+        _random_planes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)
+    ]
+
+    def bucketize(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias("__id"),
+            F.col(vc).alias("__v"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            srp_signature(F.col(vc), tables[t]).alias("bucket"),
+                        )
+                        for t in range(num_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select("__id", "__v", "tb.table", "tb.bucket")
+
+    c = bucketize(corpus, id_col, vec_col)
+    q = bucketize(queries, query_id_col, query_vec_col).withColumnRenamed(
+        "__id", "query_id"
+    ).withColumnRenamed("__v", "__qv")
+    cand = (
+        c.join(q, ["table", "bucket"])
+        .select(
+            "query_id",
+            F.col("__id").alias("vec_id"),
+            cosine(F.col("__v"), F.col("__qv")).alias("score"),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("score").alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,249 @@
+"""RollupJob — the resumable tiered-rollup pipeline.
+
+One run: for every not-yet-done input day partition, compute the 1m
+tier, cascade 1h and 1d, Gorilla-compress the configured tier, append
+everything to snapshot tables, emit one lineage row per (tier, day),
+and apply retention. Resume-safety comes from snapshot isolation:
+
+- the DONE set is read from the OUTPUT TABLE's current manifest (which
+  day partitions exist), not from a side file — an append that crashed
+  before its manifest commit is invisible, so re-running it cannot
+  duplicate rows;
+- day partitions are independent units (tier buckets nest within days),
+  so partial progress is always a consistent prefix of the final state;
+- lineage reconciliation (Σ rows_in per day == input rows) is a pytest
+  invariant.
+
+Scale notes: the per-day filter prunes the parquet scan to pending
+partitions (partition pruning — the semi-join prune of the reference's
+tsindex build, helpers/DataFrame.cpp:306-318); all pending days are
+processed in ONE Spark job per tier (no per-day driver loop); rows_in
+per day comes from the same shuffle as the rollup itself.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..checkpoint import JobState, LineageLog, SnapshotTable
+from ..functions.gorilla import compress_rollup
+from ..operators.gapfill import gapfill
+from ..operators.rollup import TIER_SECONDS, rollup_cascade, rollup_from_raw
+from .rollup_spec import RollupSpec
+
+__all__ = ["RollupJob"]
+
+
+class RollupJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        spec: RollupSpec,
+        input_path: str,
+        out_root: str,
+        job_id: str = "rollup",
+    ):
+        self.spark = spark
+        self.spec = spec
+        self.input_path = input_path
+        self.out_root = out_root
+        self.job_id = job_id
+        self.tables = {
+            tier: SnapshotTable(f"{out_root}/agg_{tier}", partition_by=["day"])
+            for tier in spec.tiers
+        }
+        self.segments = SnapshotTable(f"{out_root}/segments", partition_by=["day"])
+        self.lineage = LineageLog(f"{out_root}/lineage")
+        self.state = JobState(f"{out_root}/state")
+
+    # ------------------------------------------------------------ #
+    def _input(self) -> DataFrame:
+        df = self.spark.read.parquet(self.input_path)
+        if "event_date" not in df.columns:
+            df = df.withColumn("event_date", F.to_date(self.spec.ts_col))
+        return df
+
+    def input_snapshot_id(self) -> str:
+        """Fingerprint of the input (footer-file listing) — the job's
+        'input snapshot id'. With Iceberg this is the table's snapshot."""
+        import hashlib
+        import os
+
+        h = hashlib.sha256()
+        for root, _, files in sorted(os.walk(self.input_path)):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    h.update(f"{p}:{os.path.getsize(p)}".encode())
+        return h.hexdigest()[:16]
+
+    def _done_days(self, tier: str) -> set[str]:
+        table = self.tables[tier]
+        return {p.get("day") for p in table.partitions() if p.get("day")}
+
+    # ------------------------------------------------------------ #
+    def run(self, max_partitions: int | None = None) -> dict:
+        """Process up to ``max_partitions`` pending input days (None =
+        all); returns a summary. Call again to resume/finish."""
+        spec, spark = self.spec, self.spark
+        t0 = time.time()
+        inp = self._input()
+        in_snap = self.input_snapshot_id()
+        spec_hash = spec.spec_hash()
+
+        all_days = [
+            str(r[0]) for r in inp.select("event_date").distinct().orderBy("event_date").collect()
+        ]
+        done = self._done_days(spec.tiers[0])
+        pending = [d for d in all_days if d not in done]
+        if max_partitions is not None:
+            pending = pending[:max_partitions]
+        summary = {
+            "job_id": self.job_id,
+            "spec_hash": spec_hash,
+            "input_snapshot": in_snap,
+            "days_total": len(all_days),
+            "days_done_before": len(done),
+            "days_processed": len(pending),
+            "tokens_processed": 0,
+        }
+        if not pending:
+            summary["wall_seconds"] = time.time() - t0
+            return summary
+
+        sel = inp.where(F.col("event_date").isin(pending))
+        # rows_in + token volume per day: same scan, cheap agg
+        in_stats = {
+            str(r["event_date"]): (r["rows"], r["toks"])
+            for r in sel.groupBy("event_date")
+            .agg(F.count(F.lit(1)).alias("rows"), F.sum(spec.value_col).alias("toks"))
+            .collect()
+        }
+        summary["tokens_processed"] = int(sum(t for _, t in in_stats.values()))
+
+        # ---- tier 0 from raw (one Spark job for ALL pending days) ----
+        base_tier = spec.tiers[0]
+        agg = rollup_from_raw(
+            sel, base_tier, spec.source_col, spec.ts_col, spec.value_col
+        ).withColumn("day", F.to_date("bucket_start"))
+        agg = agg.cache()
+        out_stats = {
+            str(r["day"]): r["rows"]
+            for r in agg.groupBy("day").agg(F.count(F.lit(1)).alias("rows")).collect()
+        }
+        snap = self.tables[base_tier].append(agg)
+        lineage_rows = [
+            {
+                "job_id": self.job_id,
+                "spec_hash": spec_hash,
+                "tier": base_tier,
+                "partition_id": d,
+                "snapshot_id": snap,
+                "rows_in": in_stats.get(d, (0, 0))[0],
+                "rows_out": out_stats.get(d, 0),
+                "bytes_compressed": 0,
+                "wall_seconds": 0.0,
+                "committed_at": time.time(),
+            }
+            for d in pending
+        ]
+        self.state.mark(spec_hash, in_snap, [(base_tier, d) for d in pending])
+
+        # ---- cascade tiers (from the tier below, pending days only) ----
+        lower = agg
+        for tier in spec.tiers[1:]:
+            rolled = rollup_cascade(lower.drop("day"), tier).withColumn(
+                "day", F.to_date("bucket_start")
+            )
+            rolled = rolled.where(F.col("day").isin(pending)).cache()
+            t_out = {
+                str(r["day"]): r["rows"]
+                for r in rolled.groupBy("day").agg(F.count(F.lit(1)).alias("rows")).collect()
+            }
+            tsnap = self.tables[tier].append(rolled)
+            lineage_rows += [
+                {
+                    "job_id": self.job_id,
+                    "spec_hash": spec_hash,
+                    "tier": tier,
+                    "partition_id": d,
+                    "snapshot_id": tsnap,
+                    "rows_in": out_stats.get(d, 0),
+                    "rows_out": t_out.get(d, 0),
+                    "bytes_compressed": 0,
+                    "wall_seconds": 0.0,
+                    "committed_at": time.time(),
+                }
+                for d in pending
+            ]
+            self.state.mark(spec_hash, in_snap, [(tier, d) for d in pending])
+            lower = rolled
+
+        # ---- Gorilla compression of the configured tier ----
+        segs = compress_rollup(
+            agg.drop("day"),
+            ts_col="bucket_start",
+            value_col=spec.compress_value,
+            source_col="source",
+        ).cache()
+        seg_stats = {
+            str(r["day"]): (r["n"], r["b"])
+            for r in segs.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("bytes_compressed").alias("b"))
+            .collect()
+        }
+        ssnap = self.segments.append(segs)
+        lineage_rows += [
+            {
+                "job_id": self.job_id,
+                "spec_hash": spec_hash,
+                "tier": f"segments[{spec.compress_tier}]",
+                "partition_id": d,
+                "snapshot_id": ssnap,
+                "rows_in": out_stats.get(d, 0),
+                "rows_out": seg_stats.get(d, (0, 0))[0],
+                "bytes_compressed": int(seg_stats.get(d, (0, 0))[1] or 0),
+                "wall_seconds": 0.0,
+                "committed_at": time.time(),
+            }
+            for d in pending
+        ]
+        self.lineage.append(lineage_rows)
+        agg.unpersist()
+
+        # ---- retention: metadata-only expiry per tier ----
+        self.apply_retention()
+
+        summary["wall_seconds"] = time.time() - t0
+        summary["snapshot_ids"] = {base_tier: snap, "segments": ssnap}
+        return summary
+
+    # ------------------------------------------------------------ #
+    def apply_retention(self) -> None:
+        """Tier expiry (north rule): drop day partitions older than the
+        tier's retention horizon, metadata-only (manifest rewrite — the
+        Iceberg ``DELETE WHERE day < cutoff`` analogue)."""
+        import datetime as dt
+
+        for tier, keep_s in (self.spec.retention_seconds or {}).items():
+            if keep_s is None or tier not in self.tables:
+                continue
+            days = sorted(self._done_days(tier))
+            if not days:
+                continue
+            newest = dt.date.fromisoformat(max(days))
+            cutoff = newest - dt.timedelta(seconds=keep_s)
+            self.tables[tier].delete_partitions(
+                lambda p: p.get("day") and dt.date.fromisoformat(p["day"]) < cutoff
+            )
+
+    # ------------------------------------------------------------ #
+    def read_tier(self, tier: str) -> DataFrame:
+        return self.tables[tier].read(self.spark)
+
+    def read_tier_dense(self, tier: str) -> DataFrame:
+        return gapfill(
+            self.tables[tier].read(self.spark).drop("day"), TIER_SECONDS[tier]
+        )

@@ -1,0 +1,112 @@
+"""Resume correctness: a job killed between partitions resumes from the
+snapshot checkpoint and produces outputs identical to a single run;
+lineage rows reconcile with the input (north-rule requirements)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from getml_community_spark.checkpoint import SnapshotTable
+from getml_community_spark.datagen import write_corpus_parquet
+from getml_community_spark.plans import RollupJob, RollupSpec
+
+from .conftest import assert_frames_equal_unordered
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("corpus") / "corpus")
+    write_corpus_parquet(spark, 3000, p, with_tokens=False)
+    return p
+
+
+def _run_full(spark, corpus_path, out):
+    job = RollupJob(spark, RollupSpec(), corpus_path, out)
+    s = job.run()
+    return job, s
+
+
+def test_resume_equals_single_run(spark, corpus_path, tmp_path):
+    single = str(tmp_path / "single")
+    resumed = str(tmp_path / "resumed")
+
+    job1, s1 = _run_full(spark, corpus_path, single)
+    assert s1["days_processed"] == s1["days_total"] == 14
+
+    # simulated kill: process only 4 days, then "restart" with a fresh
+    # job object and finish
+    job2a = RollupJob(spark, RollupSpec(), corpus_path, resumed)
+    sa = job2a.run(max_partitions=4)
+    assert sa["days_processed"] == 4
+    job2b = RollupJob(spark, RollupSpec(), corpus_path, resumed)
+    sb = job2b.run()
+    assert sb["days_done_before"] == 4
+    assert sb["days_processed"] == 10
+    # idempotent: third run is a no-op
+    sc = RollupJob(spark, RollupSpec(), corpus_path, resumed).run()
+    assert sc["days_processed"] == 0
+
+    for tier in ("1m", "1h", "1d"):
+        a = job1.read_tier(tier).drop("day").toPandas()
+        b = job2b.read_tier(tier).drop("day").toPandas()
+        assert_frames_equal_unordered(a, b, ["source", "bucket_start"])
+
+    # segments identical too (blob bytes equal)
+    sa_ = job1.segments.read(spark).select("source", "day", "data").toPandas()
+    sb_ = job2b.segments.read(spark).select("source", "day", "data").toPandas()
+    sa_ = sa_.sort_values(["source", "day"]).reset_index(drop=True)
+    sb_ = sb_.sort_values(["source", "day"]).reset_index(drop=True)
+    assert len(sa_) == len(sb_)
+    assert (sa_["data"].map(bytes) == sb_["data"].map(bytes)).all()
+
+
+def test_lineage_reconciles(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "lin")
+    job, _ = _run_full(spark, corpus_path, out)
+    lin = job.lineage.read_pandas()
+    # Σ rows_in over 1m lineage == input rows
+    rows_in = lin[lin["tier"] == "1m"]["rows_in"].sum()
+    n_input = spark.read.parquet(corpus_path).count()
+    assert rows_in == n_input
+    # per-tier rows_out equals table row counts
+    for tier in ("1m", "1h", "1d"):
+        assert (
+            lin[lin["tier"] == tier]["rows_out"].sum()
+            == job.read_tier(tier).count()
+        )
+    # segment lineage: bytes_compressed recorded and positive overall
+    seg = lin[lin["tier"].str.startswith("segments")]
+    assert seg["bytes_compressed"].sum() > 0
+    # every lineage row carries a snapshot id
+    assert lin["snapshot_id"].notna().all()
+
+
+def test_retention_expires_partitions(spark, corpus_path, tmp_path):
+    out = str(tmp_path / "ret")
+    spec = RollupSpec(retention_seconds={"1m": 5 * 86400, "1h": None, "1d": None})
+    job = RollupJob(spark, spec, corpus_path, out)
+    job.run()
+    days_1m = sorted(
+        p["day"] for p in job.tables["1m"].partitions() if p.get("day")
+    )
+    # newest day minus 5d cutoff: only ~6 day partitions survive (cutoff
+    # day inclusive)
+    assert len(days_1m) <= 6, days_1m
+    # coarser tiers untouched
+    assert len({p["day"] for p in job.tables["1d"].partitions()}) == 14
+    # expiry was metadata-only: parquet files still on disk, snapshot
+    # history still has the full set
+    import glob
+
+    assert glob.glob(f"{out}/agg_1m/data/*/day=*/*.parquet")
+
+
+def test_snapshot_isolation_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tt"), partition_by=[])
+    df1 = spark.range(3).toDF("x")
+    s1 = t.append(df1)
+    s2 = t.append(spark.range(10, 12).toDF("x"))
+    assert t.read(spark).count() == 5
+    assert t.read(spark, snapshot_id=s1).count() == 3  # time travel
+    assert t.current_snapshot_id() == s2

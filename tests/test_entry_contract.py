@@ -1,0 +1,88 @@
+"""Mimic the driver's correctness gate: every queries() entry runs at
+sf0.001 and matches its oracle_sql() (row count, schema names, and
+order-insensitive values) via DuckDB. Catches contract drift before the
+driver does."""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.copy()
+    out.columns = [c.lower() for c in out.columns]
+    out = out[sorted(out.columns)]
+    for c in out.columns:
+        s = out[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            out[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            out[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("int64")
+        elif s.dtype == object:
+            out[c] = s.astype(str)
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+ORACLE_CHECKED = sorted(entrymod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLE_CHECKED))
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    got = _canon(q(spark, SF).toPandas())
+    want = _canon(ddb.execute(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        name, list(got.columns), list(want.columns)
+    )
+    assert len(got) == len(want), (name, len(got), len(want))
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(w):
+            gv, wv = g.to_numpy(float), w.to_numpy(float)
+            ok = (np.isnan(gv) & np.isnan(wv)) | np.isclose(
+                gv, wv, rtol=0, atol=1.5e-6, equal_nan=True
+            )
+            assert ok.all(), (name, c, gv[~ok][:5], wv[~ok][:5])
+        else:
+            assert (g == w).all(), (name, c, g[g != w].head(), w[g != w].head())
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    q = entrymod.queries()[name]
+    df = q(spark, SF)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0

@@ -1,0 +1,207 @@
+"""Dedup / similarity / text stats / multimodal operators vs local oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ---------------- dedup ---------------- #
+def test_exact_dedup_matches_pandas(spark, docs):
+    from getml_community_spark.operators.dedup import exact_dedup
+
+    got = exact_dedup(docs, "text", "doc_id").toPandas()
+    pdf = docs.select("doc_id", "text").toPandas()
+    norm = pdf["text"].str.replace(r"\s+", " ", regex=True).str.strip().str.lower()
+    want = (
+        pdf.assign(norm=norm)
+        .groupby("norm")["doc_id"]
+        .agg(doc_id="min", dup_count="count")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got["dup_count"].sum() == len(pdf)
+    assert set(got["doc_id"]) == set(want["doc_id"])
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    from getml_community_spark.operators.dedup import minhash_lsh_dedup, minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    near = base.replace("lazy", "sleepy", 1)  # one-token change
+    far = "completely different content about spark rollup engines " * 20
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": [base, near, far, base + " extra tail"]}
+    )
+    df = spark.createDataFrame(pdf)
+    pairs = minhash_lsh_pairs(df, "text", "doc_id").toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (1, 2) in found and (1, 4) in found
+    assert (1, 3) not in found and (2, 3) not in found
+    kept = minhash_lsh_dedup(df, "text", "doc_id", threshold=0.6).toPandas()
+    assert 1 in set(kept["doc_id"]) and 3 in set(kept["doc_id"])
+    assert 2 not in set(kept["doc_id"])
+
+
+def test_simhash_near_dup(spark):
+    from getml_community_spark.operators.dedup import simhash_pairs
+
+    base = "spark catalyst tungsten arrow shuffle partition " * 30
+    near = base.replace("shuffle", "exchange", 1)
+    far = "alpha beta gamma delta epsilon zeta " * 30
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    )
+    pairs = simhash_pairs(df, "text", "doc_id", max_hamming=6).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (1, 2) in found
+    assert (1, 3) not in found
+
+
+def test_ngram_jaccard_expression(spark):
+    from getml_community_spark.operators.dedup import ngram_jaccard
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "a": ["one two three four five", "one two three four five"],
+                "b": ["one two three four five", "totally different words here now"],
+            }
+        )
+    )
+    got = df.select(ngram_jaccard(F.col("a"), F.col("b"), 3).alias("j")).toPandas()
+    assert got["j"].iloc[0] == 1.0
+    assert got["j"].iloc[1] == 0.0
+
+
+# ---------------- similarity ---------------- #
+def test_brute_force_topk_exact(spark, embs):
+    from getml_community_spark.operators.similarity import brute_force_topk
+
+    queries = embs.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    got = brute_force_topk(embs, queries, k=5).toPandas()
+    # oracle in numpy
+    pdf = embs.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qdf = queries.toPandas()
+    for _, qr in qdf.iterrows():
+        q = np.asarray(qr["embedding"])
+        scores = mat_n @ (q / np.linalg.norm(q))
+        order = np.lexsort((ids, -scores))[:5]
+        want_ids = ids[order]
+        g = got[got["query_id"] == qr["query_id"]].sort_values("rank")
+        assert list(g["vec_id"]) == list(want_ids), qr["query_id"]
+        np.testing.assert_allclose(
+            g["score"].to_numpy(), scores[order], rtol=1e-6
+        )
+        # self-match is rank 1 with score ~1
+        assert g.iloc[0]["vec_id"] == qr["query_id"]
+
+
+def test_lsh_topk_recall(spark, embs):
+    from getml_community_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    queries = embs.limit(10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = brute_force_topk(embs, queries, k=5).toPandas()
+    approx = lsh_topk(
+        embs, queries, dim=64, k=5, num_planes=8, num_tables=16
+    ).toPandas()
+    # i.i.d.-random embeddings are ANN's worst case (near-orthogonal,
+    # no cluster structure): assert the self-match is ALWAYS found
+    # (identical vector → identical buckets) and a modest recall floor.
+    hits = 0
+    for qid, grp in exact.groupby("query_id"):
+        want = set(grp["vec_id"])
+        gotset = set(approx[approx["query_id"] == qid]["vec_id"])
+        hits += len(want & gotset)
+        assert qid in gotset, f"self-match missed for {qid}"
+    assert hits / len(exact) >= 0.3, hits / len(exact)
+
+
+# ---------------- textstats ---------------- #
+def test_text_stats_battery(spark, docs):
+    from getml_community_spark.operators.textstats import text_stats
+
+    got = text_stats(docs, "text", "doc_id").toPandas()
+    pdf = docs.select("doc_id", "text").toPandas()
+    assert len(got) == len(pdf)
+    # token counts match a simple python tokenizer
+    import re
+
+    for _, r in got.head(50).iterrows():
+        text = pdf[pdf["doc_id"] == r["doc_id"]]["text"].iloc[0]
+        want = len([w for w in re.split(r"[^\w']+", text.lower()) if w])
+        assert r["n_words"] == want
+    assert got["quality"].between(0, 1).all()
+    assert got["lang_pred"].isin(["en", "de", "fr", "es", "und"]).all()
+    # fingerprint: identical normalized text → identical fingerprint
+    assert got["fingerprint"].notna().all()
+
+
+def test_vocabulary_min_df(spark, docs):
+    from getml_community_spark.operators.textstats import vocabulary
+
+    vocab = vocabulary(docs, "text", min_df=5, max_size=50).toPandas()
+    assert len(vocab) <= 50
+    assert (vocab["doc_freq"] >= 5).all()
+    assert vocab["doc_freq"].is_monotonic_decreasing
+
+
+# ---------------- multimodal ---------------- #
+def test_multimodal_plumbing(spark):
+    from getml_community_spark.operators.multimodal import (
+        FEATURE_DIM,
+        attach_media_metadata,
+        extract_image_features,
+        sample_video_frames,
+    )
+
+    rows = [
+        ("m1", "image", bytes([0x89, 0x50, 0x4E, 0x47]) + b"x" * 100, "image/png", 4, 4, 0, 0),
+        ("m2", "image", bytes([0xFF, 0xD8, 0xFF]) + b"y" * 50, "image/jpeg", 2, 2, 0, 0),
+        ("m3", "video", b"\x00\x00\x00\x18ftyp" + b"z" * 300, "video/mp4", 0, 0, 3500, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int, sample_rate int",
+    )
+    meta = attach_media_metadata(df).toPandas().set_index("media_id")
+    assert meta.loc["m1", "sniffed_mime"] == "image/png"
+    assert meta.loc["m2", "sniffed_mime"] == "image/jpeg"
+    assert meta.loc["m3", "sniffed_mime"] == "video/mp4"
+
+    feats = extract_image_features(df).toPandas()
+    assert len(feats) == 3
+    assert all(len(f) == FEATURE_DIM for f in feats["features"])
+    # deterministic: same payload → same features
+    feats2 = extract_image_features(df).toPandas()
+    a = feats.sort_values("media_id")["features"].map(tuple).tolist()
+    b = feats2.sort_values("media_id")["features"].map(tuple).tolist()
+    assert a == b
+
+    frames = sample_video_frames(df.where("kind = 'video'"), every_ms=1000).toPandas()
+    assert list(sorted(frames["frame_ms"])) == [0, 1000, 2000, 3000]
+
+    with pytest.raises(NotImplementedError):
+        extract_image_features(df, decoder="pil").collect()
