@@ -206,6 +206,55 @@ def q_gorilla_roundtrip_1m(spark, sf):
     )
 
 
+def q_lag_rolling_1h(spark, sf):
+    """Lag bank + rolling windows over the dense 1h tier (the
+    reference's lag conditions, FastProp.cpp:1255-1287)."""
+    from getml_community_spark.operators.gapfill import gapfill
+    from getml_community_spark.operators.lag import lag_features, rolling_features
+    from getml_community_spark.operators.rollup import rollup_from_raw
+
+    ev = _load(spark, sf, "events")
+    dense = gapfill(
+        rollup_from_raw(ev, "1h", source_col="user_id", ts_col="ts", value_col="value"),
+        3600,
+    )
+    out = rolling_features(
+        lag_features(dense, ["cnt"], lags=[1, 2]),
+        ["cnt"],
+        window_buckets=3,
+        aggs=["sum", "avg"],
+    )
+    return out.select(
+        F.col("source").alias("user_id"),
+        "bucket_start",
+        "cnt",
+        "cnt_lag1",
+        "cnt_lag2",
+        F.col("cnt_roll3_sum").cast("long").alias("roll3_sum"),
+        _r(F.col("cnt_roll3_avg")).alias("roll3_avg"),
+    )
+
+
+def q_sliding_window(spark, sf):
+    """Per-event sliding self-join window (time_series.py semantics):
+    1-day trailing window per user."""
+    from getml_community_spark.operators.lag import sliding_window_agg
+
+    ev = _load(spark, sf, "events")
+    out = sliding_window_agg(
+        ev, "value", horizon_seconds=0, memory_seconds=86400,
+        key_cols=["user_id"], ts_col="ts",
+    )
+    return out.select(
+        "event_id",
+        F.col("w_count").cast("long").alias("w_count"),
+        _r(F.col("w_sum")).alias("w_sum"),
+        _r(F.col("w_avg")).alias("w_avg"),
+        _r(F.col("w_min")).alias("w_min"),
+        _r(F.col("w_max")).alias("w_max"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # joins / staging
 # --------------------------------------------------------------------- #
@@ -475,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_trend_1h": q_ewma_trend_1h,
         "two_pass_1h": q_two_pass_1h,
         "mode_1h": q_mode_1h,
+        "lag_rolling_1h": q_lag_rolling_1h,
+        "sliding_window": q_sliding_window,
         "gorilla_roundtrip_1m": q_gorilla_roundtrip_1m,
         "asof_orders_events": q_asof_orders_events,
         "staging_join": q_staging_join,
@@ -616,6 +667,40 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN s
               ON s.user_id = e.user_id AND s.bucket_start = date_trunc('hour', e.ts)
             GROUP BY 1, 2
+        """,
+        "lag_rolling_1h": """
+            WITH agg AS (
+              SELECT user_id, date_trunc('hour', ts) AS b,
+                     count(value) AS cnt
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT user_id, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1
+            ), spine AS (
+              SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+              FROM bounds
+            ), dense AS (
+              SELECT s.user_id, s.bucket_start, coalesce(a.cnt, 0) AS cnt
+              FROM spine s LEFT JOIN agg a
+                ON a.user_id = s.user_id AND a.b = s.bucket_start
+            )
+            SELECT user_id, bucket_start, cnt,
+                   lag(cnt, 1) OVER w AS cnt_lag1,
+                   lag(cnt, 2) OVER w AS cnt_lag2,
+                   sum(cnt) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3_sum,
+                   round(avg(cnt) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS roll3_avg
+            FROM dense
+            WINDOW w AS (PARTITION BY user_id ORDER BY bucket_start)
+        """,
+        "sliding_window": """
+            SELECT event_id,
+                   count(value) OVER w AS w_count,
+                   round(sum(value) OVER w, 6) AS w_sum,
+                   round(avg(value) OVER w, 6) AS w_avg,
+                   round(min(value) OVER w, 6) AS w_min,
+                   round(max(value) OVER w, 6) AS w_max
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
         """,
         "mode_1h": """
             SELECT user_id, bucket_start, round(value, 6) AS mode FROM (

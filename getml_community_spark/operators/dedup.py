@@ -69,16 +69,43 @@ def _hash_family(col: Column, seed: int) -> Column:
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
-    """MinHash signature: per hash function, min over the shingle set of
-    xxhash64(shingle, seed_i) (array<long>, length num_hashes).
-    array_min over a transform — no explode, no shuffle."""
-    def _one(seed: int):
-        # NB: the inner lambda must take exactly ONE parameter —
-        # F.transform passes the array index to a second parameter,
-        # which would clobber a `seed=seed` default.
-        return F.array_min(F.transform(shingle_col, lambda s: _hash_family(s, seed)))
+    """MinHash signature (array<long>, length num_hashes).
 
-    return F.array(*[_one(i) for i in range(num_hashes)])
+    Two stages: (1) ONE JVM ``xxhash64`` per shingle (base hash), then
+    (2) a vectorized pandas UDF applies the ``num_hashes``-member
+    universal-hash family h_i(x) = a_i*x + b_i (mod 2^64, odd a_i) and
+    takes the per-family min -- an (n_shingles x num_hashes) numpy outer
+    product per row.
+
+    Why not 128 JVM ``array_min(transform(...))`` expressions: Catalyst
+    projection collapse inlines the signature expression into every
+    downstream use (e.g. 32 LSH band slices), re-evaluating the full
+    shingle pipeline 32x128 times per row. The pandas UDF is an
+    optimization barrier AND vectorizes the family math.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(0xC0FFEE)
+    a = (rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+
+    @pandas_udf("array<long>")
+    def _sig(base):  # pd.Series -> pd.Series (annotations break under local import)
+        out = []
+        with np.errstate(over="ignore"):
+            for arr in base:
+                h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+                if len(h) == 0:
+                    out.append(np.zeros(num_hashes, dtype=np.int64))
+                    continue
+                m = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
+                out.append(m.view(np.int64))
+        return pd.Series(out)
+
+    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    return _sig(base)
 
 
 def minhash_lsh_pairs(

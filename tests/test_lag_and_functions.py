@@ -1,0 +1,136 @@
+"""Lag banks / rolling windows / sliding self-join windows + scalar fn
+conventions (erf, lgamma/tgamma, weekday) vs python math."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_lag_and_rolling_match_pandas(spark):
+    from getml_community_spark.operators.gapfill import gapfill
+    from getml_community_spark.operators.lag import lag_features, rolling_features
+    from getml_community_spark.operators.rollup import rollup_from_raw
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dense = gapfill(
+        rollup_from_raw(ev, "1h", source_col="user_id", ts_col="ts", value_col="value"),
+        3600,
+    )
+    out = rolling_features(
+        lag_features(dense, ["cnt"], lags=[1, 2]),
+        ["cnt"],
+        window_buckets=3,
+        aggs=["sum", "avg"],
+    ).toPandas()
+    for src, grp in list(out.groupby("source"))[:10]:
+        grp = grp.sort_values("bucket_start").reset_index(drop=True)
+        cnt = grp["cnt"].astype(float)
+        pd.testing.assert_series_equal(
+            grp["cnt_lag1"].astype(float), cnt.shift(1), check_names=False
+        )
+        pd.testing.assert_series_equal(
+            grp["cnt_lag2"].astype(float), cnt.shift(2), check_names=False
+        )
+        pd.testing.assert_series_equal(
+            grp["cnt_roll3_sum"].astype(float),
+            cnt.rolling(3, min_periods=1).sum(),
+            check_names=False,
+        )
+        np.testing.assert_allclose(
+            grp["cnt_roll3_avg"].astype(float),
+            cnt.rolling(3, min_periods=1).mean(),
+            rtol=1e-12,
+        )
+
+
+def test_sliding_window_matches_bruteforce(spark):
+    from getml_community_spark.operators.lag import sliding_window_agg
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(2000)
+    got = sliding_window_agg(
+        ev, "value", horizon_seconds=0, memory_seconds=86400,
+        key_cols=["user_id"], ts_col="ts",
+    ).toPandas()
+    pdf = ev.toPandas()
+    ts = pdf["ts"].astype("int64").to_numpy() / 1e9
+    for i in got.sample(50, random_state=1).index:
+        r = got.loc[i]
+        t0 = pd.Timestamp(r["ts"]).value / 1e9
+        m = (
+            (pdf["user_id"] == r["user_id"]).to_numpy()
+            & (ts >= t0 - 86400)
+            & (ts <= t0)
+        )
+        vals = pdf.loc[m, "value"]
+        assert r["w_count"] == len(vals)
+        assert r["w_sum"] == pytest.approx(vals.sum(), rel=1e-12)
+
+
+def test_erf_lgamma_tgamma(spark):
+    from getml_community_spark.functions.scalar import erf, lgamma, tgamma
+
+    xs = [0.01, 0.5, 1.0, 2.5, 5.0, -1.5, -0.2, 10.0]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = df.select(
+        erf(F.col("x")).alias("erf"),
+        F.when(F.col("x") > 0, lgamma(F.col("x"))).alias("lgamma"),
+        F.when(F.col("x") > 0, tgamma(F.col("x"))).alias("tgamma"),
+    ).toPandas()
+    for i, x in enumerate(xs):
+        assert got["erf"][i] == pytest.approx(math.erf(x), abs=2e-7)
+        if x > 0:
+            assert got["lgamma"][i] == pytest.approx(math.lgamma(x), rel=1e-8, abs=1e-8)
+            assert got["tgamma"][i] == pytest.approx(math.gamma(x), rel=1e-7)
+
+
+def test_weekday_convention(spark):
+    """weekday: 0=Sunday..6=Saturday (sqlite %w, FloatOpParser)."""
+    from getml_community_spark.functions.scalar import weekday
+
+    df = spark.createDataFrame(
+        [("2025-01-05",), ("2025-01-06",), ("2025-01-11",)], "d string"
+    )  # Sun, Mon, Sat
+    got = df.select(weekday(F.to_timestamp("d")).alias("w")).toPandas()
+    assert list(got["w"]) == [0.0, 1.0, 6.0]
+
+
+def test_preprocessor_email_domain_substring_splitter(spark):
+    from getml_community_spark.functions.preprocessors import (
+        email_domain,
+        split_text_fields,
+        substring_feature,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alice@example.com", "Hello World, hello spark"),
+         (2, "bob.smith@sub.domain.org", "foo BAR foo")],
+        "id int, email string, txt string",
+    )
+    dom = email_domain(df, "email").toPandas()
+    assert list(dom["email_domain"]) == ["@example.com", "@sub.domain.org"]
+    sub = substring_feature(df, "email", 0, 3).toPandas()
+    assert list(sub["email_substr0_3"]) == ["ali", "bob"]
+    words = split_text_fields(df, "txt", "id").toPandas()
+    w1 = sorted(words[words["id"] == 1]["word"])
+    assert w1 == ["hello", "hello", "spark", "world"]
+
+
+def test_update_and_null_tests(spark):
+    from getml_community_spark.functions.scalar import is_inf, is_null_or_nan, update
+
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (float("inf"),), (None,)], "x double"
+    )
+    got = df.select(
+        update(F.col("x"), F.col("x") > 0.5, F.lit(9.0)).alias("u"),
+        is_inf(F.col("x")).alias("inf"),
+        is_null_or_nan(F.col("x")).alias("nn"),
+    ).toPandas()
+    assert got["u"][0] == 9.0
+    assert bool(got["inf"][2]) is True
+    assert bool(got["nn"][1]) is True and bool(got["nn"][3]) is True
