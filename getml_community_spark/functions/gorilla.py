@@ -271,38 +271,63 @@ def compress_rollup(
 ):
     """(source, day) segments of a rollup table → Gorilla blobs.
 
-    ``applyInPandas`` groups by (source, day): each segment arrives as
-    one Arrow batch; the kernel is pure numpy. Grouping by day bounds
-    segment size (≤1440 1m-points) and aligns segments with the
-    day-partitioned table layout, so recompression after late data
+    Shape matters at scale: the segment assembly happens JVM-SIDE via
+    ``sort_array(collect_list(struct(ts, val)))`` in the groupBy, so the
+    Python boundary sees ONE ROW PER SEGMENT (arrays), not one row per
+    point — ~1400x fewer rows through Arrow and zero per-group pandas
+    slicing. (The earlier ``applyInPandas`` per-point design spent more
+    time in the Python runner than in the codec.) The kernel is then a
+    plain pandas_udf: numpy in, bytes out.
+
+    Grouping by day bounds segment size (≤1440 1m-points) and aligns
+    segments with day partitioning, so recompression after late data
     touches exactly one partition.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__ts")
-        ts = pdf["__ts"].to_numpy(np.int64)
-        vals = pdf["__val"].to_numpy(np.float64)
-        blob = encode_segment(ts, vals)
-        return pd.DataFrame(
-            {
-                "source": [pdf["source"].iloc[0]],
-                "day": [pdf["__day"].iloc[0]],
-                "n_points": [len(ts)],
-                "bytes_raw": [len(ts) * 16],
-                "bytes_compressed": [len(blob)],
-                "data": [blob],
-            }
-        )
+    @pandas_udf("binary")
+    def encode_udf(ts_arrs, val_arrs):
+        out = []
+        for ts, vals in zip(ts_arrs, val_arrs):
+            out.append(
+                encode_segment(
+                    np.asarray(ts, dtype=np.int64), np.asarray(vals, dtype=np.float64)
+                )
+            )
+        return pd.Series(out)
 
+    # day via epoch arithmetic — to_date() is a non-codegen timezone
+    # path measured ~9x slower per row; NTZ hops through TIMESTAMP
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
     prep = agg.select(
         F.col(source_col).cast("string").alias("source"),
-        F.to_date(ts_col).alias("__day"),
-        # NTZ timestamps need the hop through TIMESTAMP before long
-        F.col(ts_col).cast("timestamp").cast("long").alias("__ts"),
+        F.date_from_unix_date(F.floor(epoch / F.lit(86400)).cast("int")).alias(
+            "day"
+        ),
+        epoch.alias("__ts"),
         F.col(value_col).cast("double").alias("__val"),
     )
-    return prep.groupBy("source", "__day").applyInPandas(kernel, COMPRESSED_SCHEMA)
+    seg = prep.groupBy("source", "day").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__ts").alias("t"), F.col("__val").alias("v")))
+        ).alias("__pts")
+    )
+    seg = seg.select(
+        "source",
+        "day",
+        F.transform("__pts", lambda p: p["t"]).alias("__ts_arr"),
+        F.transform("__pts", lambda p: p["v"]).alias("__val_arr"),
+    )
+    return seg.select(
+        "source",
+        "day",
+        F.size("__ts_arr").alias("n_points"),
+        (F.size("__ts_arr").cast("long") * 16).alias("bytes_raw"),
+        encode_udf("__ts_arr", "__val_arr").alias("data"),
+    ).withColumn("bytes_compressed", F.length("data").cast("long")).select(
+        "source", "day", "n_points", "bytes_raw", "bytes_compressed", "data"
+    )
 
 
 def decompress_segments(segments):

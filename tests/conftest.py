@@ -36,6 +36,17 @@ def corpus_df(spark, corpus_pdf):
 
 def assert_frames_equal_unordered(actual: pd.DataFrame, expected: pd.DataFrame, keys, rtol=0.0, atol=0.0):
     """Sort by keys, align columns, compare exactly (or with tolerance)."""
+    def _strip_tz(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in df.columns:
+            if pd.api.types.is_datetime64_any_dtype(df[c]):
+                s = pd.to_datetime(df[c])
+                if getattr(s.dt, "tz", None) is not None:
+                    s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+                df[c] = s.astype("datetime64[us]")
+        return df
+
+    actual, expected = _strip_tz(actual), _strip_tz(expected)
     a = actual.sort_values(keys).reset_index(drop=True)[sorted(actual.columns)]
     e = expected.sort_values(keys).reset_index(drop=True)[sorted(expected.columns)]
     assert list(a.columns) == list(e.columns), (a.columns, e.columns)

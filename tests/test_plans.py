@@ -1,0 +1,110 @@
+"""Physical-plan shape assertions: the plans we designed for are the
+plans Catalyst actually produces (single shuffle per tier, pushdown
+into the parquet scan, broadcast staging joins, no Python in JVM-only
+paths)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_rollup_single_exchange_and_partial_agg(spark):
+    from getml_community_spark.operators.rollup import rollup_from_raw
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(rollup_from_raw(ev, "1m", source_col="user_id", ts_col="ts", value_col="value"))
+    assert plan.count("Exchange") == 1, plan
+    # map-side partial aggregation before the shuffle
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "HashAggregate" in plan
+    # no Python anywhere in the tier computation
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_cascade_adds_one_exchange_only(spark):
+    from getml_community_spark.operators.rollup import rollup_cascade, rollup_from_raw
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    agg1h = rollup_cascade(
+        rollup_from_raw(ev, "1m", source_col="user_id", ts_col="ts", value_col="value"),
+        "1h",
+    )
+    assert _plan(agg1h).count("Exchange") == 2  # one per tier
+
+
+def test_filter_and_projection_pushdown(spark):
+    """Filters and column pruning reach the parquet scan: a filtered
+    rollup must show PushedFilters and must NOT read unused columns
+    (e.g. the wide props string)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    from getml_community_spark.operators.rollup import rollup_from_raw
+
+    agg = rollup_from_raw(
+        ev.where(F.col("user_id") == 7), "1h",
+        source_col="user_id", ts_col="ts", value_col="value",
+    )
+    plan = _plan(agg)
+    assert "PushedFilters: [" in plan and "user_id" in plan.split("PushedFilters")[1][:200], plan
+    scan_schema = plan.split("ReadSchema:")[1][:300]
+    assert "props" not in scan_schema, scan_schema
+    assert "event_type" not in scan_schema, scan_schema
+
+
+def test_staging_join_broadcasts_dim(spark):
+    from getml_community_spark.operators.staging import join_many_to_one
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plan = _plan(join_many_to_one(orders, cust, on="o_custkey"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan  # fact side never shuffles
+
+
+def test_one_to_one_join_validation(spark):
+    import pandas as pd
+
+    from getml_community_spark.operators.staging import (
+        CardinalityError,
+        join_one_to_one,
+    )
+
+    fact = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "x": [1.0, 2.0, 3.0]}))
+    dim_ok = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "d": ["a", "b"]}))
+    out = join_one_to_one(fact, dim_ok, "k").toPandas().sort_values("k")
+    assert list(out["d"]) == ["a", "b", None]
+    dim_dup = spark.createDataFrame(pd.DataFrame({"k": [1, 1], "d": ["a", "b"]}))
+    with pytest.raises(CardinalityError):
+        join_one_to_one(fact, dim_dup, "k")
+
+
+def test_asof_bucketed_join_is_equijoin(spark):
+    """The bucketed as-of strategy must plan as a hash EQUI-join (key +
+    bucket), never a broadcast-nested-loop over the range predicate."""
+    from getml_community_spark.operators.asof_join import asof_match
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    events = spark.read.parquet(f"{SF}/events.parquet").withColumnRenamed(
+        "user_id", "o_custkey"
+    )
+    m = asof_match(
+        orders, events, on="o_custkey", population_id="o_orderkey",
+        pop_ts="o_orderdate", peri_ts="ts", horizon=3600, memory=86400,
+    )
+    plan = _plan(m)
+    assert "NestedLoop" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
