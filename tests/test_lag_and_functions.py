@@ -134,3 +134,36 @@ def test_update_and_null_tests(spark):
     assert got["u"][0] == 9.0
     assert bool(got["inf"][2]) is True
     assert bool(got["nn"][1]) is True and bool(got["nn"][3]) is True
+
+
+def test_gapfill_interpolated(spark):
+    """applyInPandas linear interpolation across gap buckets."""
+    import pandas as pd
+
+    from getml_community_spark.operators.gapfill import gapfill_interpolated
+
+    agg = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "source": ["s"] * 3,
+                "bucket_start": pd.to_datetime(
+                    ["2025-01-01 00:00", "2025-01-01 03:00", "2025-01-01 04:00"]
+                ),
+                "cnt": [2, 4, 6],
+                "sum_n_tok": [20, 40, 60],
+                "min_n_tok": [5, 5, 5],
+                "max_n_tok": [15, 15, 15],
+                "rate": [1.0, 4.0, 6.0],
+            }
+        )
+    )
+    out = (
+        gapfill_interpolated(agg, 3600, value_cols=("rate",))
+        .toPandas()
+        .sort_values("bucket_start")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 5
+    # linear between 1.0 (00:00) and 4.0 (03:00): 2.0, 3.0
+    assert list(out["rate"]) == [1.0, 2.0, 3.0, 4.0, 6.0]
+    assert list(out["cnt"]) == [2, 0, 0, 4, 6]
