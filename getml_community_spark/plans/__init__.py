@@ -1,2 +1,3 @@
 from .rollup_spec import RollupSpec  # noqa: F401
 from .job import RollupJob  # noqa: F401
+from .to_sql import asof_feature_sql, rollup_sql  # noqa: F401
