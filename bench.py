@@ -151,6 +151,7 @@ def main() -> None:
                 "bench_rows": bench_n,
                 "cpus": cpus,
                 "gorilla_ratio": round(hot["gorilla_ratio"], 3),
+                "walls": hot.get("walls"),
             }
         )
     )

@@ -96,7 +96,7 @@ this host's hypervisor).
 **scaling efficiency (T{lo}/T{hi})/{ratio:.0f}:** {eff:.3f} (target >= 0.8)
 
 All three timed walls per level: local[{lo}]={results[lo].get('walls')},
-local[{hi}]={results[hi].get('walls')}.
+local[{hi}]={results[hi].get('walls')}. (Min is reported.)
 
 Gorilla compression ratio at the 1m tier: {results[hi]['gorilla_ratio']:.2f}x
 (regular 1m buckets of double rates; at production scale segments hold
