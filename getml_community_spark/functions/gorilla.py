@@ -97,22 +97,31 @@ def _pack_codes(codes: np.ndarray, lens: np.ndarray) -> tuple[bytes, int]:
 
 
 class _BitReader:
-    """Sequential MSB-first bit cursor (decode path; cold, per-segment)."""
+    """Sequential MSB-first bit cursor (decode path).
 
-    __slots__ = ("bits", "pos")
+    Each read is ONE numpy dot-product over the bit slice (weights
+    2^(n−1)..2^0), not a per-bit Python loop; reads >62 bits split in
+    half to stay inside exact int64 arithmetic."""
+
+    __slots__ = ("bits", "pos", "_w")
+
+    _WEIGHTS = (np.int64(1) << np.arange(62, -1, -1, dtype=np.int64))
 
     def __init__(self, data: bytes, nbits: int):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))[:nbits]
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))[
+            :nbits
+        ].astype(np.int64)
         self.pos = 0
 
     def read(self, n: int) -> int:
-        out = 0
-        b = self.bits
+        if n > 62:
+            hi = self.read(n - 32)
+            return (hi << 32) | self.read(32)
         p = self.pos
-        for k in range(n):
-            out = (out << 1) | int(b[p + k])
         self.pos = p + n
-        return out
+        if n == 1:
+            return int(self.bits[p])
+        return int(self.bits[p : self.pos] @ self._WEIGHTS[-n:])
 
 
 # --------------------------------------------------------------------- #

@@ -18,6 +18,9 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 __all__ = [
+    "rowid",
+    "arange",
+    "random_column",
     "erf",
     "tgamma",
     "lgamma",
@@ -144,6 +147,36 @@ def is_inf(col: Column) -> Column:
 def is_null_or_nan(col: Column) -> Column:
     c = col.cast("double")
     return c.isNull() | F.isnan(c)
+
+
+def rowid(df, order_by: list[str] | None = None, out: str = "rowid"):
+    """Generated rowid 0..n−1 (reference 'rowid' column,
+    columns.py:112-173; used as pseudo-timestamp for ordered-but-
+    unstamped series, modify_data_frames.cpp:135-149).
+
+    With order_by: a deterministic global row_number (single-partition
+    window for the final numbering — use only when a global order is
+    semantically required). Without: monotonically_increasing_id
+    (distributed, unique, NOT dense — the scalable default)."""
+    from pyspark.sql import Window
+
+    if order_by:
+        w = Window.orderBy(*order_by)
+        return df.withColumn(out, F.row_number().over(w) - F.lit(1))
+    return df.withColumn(out, F.monotonically_increasing_id())
+
+
+def arange(df, out: str = "arange", order_by: list[str] | None = None):
+    """arange 0..n−1 (columns.py 'arange') — alias of rowid."""
+    return rowid(df, order_by=order_by, out=out)
+
+
+def random_column(df, seed: int = 42, out: str = "random"):
+    """Uniform [0,1) random column with fixed seed
+    (columns/random.py). rand(seed) is deterministic per row ordering
+    within a partition layout; pin upstream partitioning for exact
+    reproducibility."""
+    return df.withColumn(out, F.rand(seed))
 
 
 # duration helpers (reference data/time.py:23-125) — plain seconds

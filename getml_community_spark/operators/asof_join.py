@@ -69,6 +69,14 @@ def asof_match(
     if memory is not None and upper_ts is not None:
         raise ValueError("memory and upper_ts are mutually exclusive")
     on = [on] if isinstance(on, str) else list(on)
+    if not on:
+        # keyless join: the reference adds a constant join key to both
+        # sides (modify_data_frames.cpp:121-131 add_jk). The bucketed
+        # strategy still bounds candidates by time bucket, so this is a
+        # time-windowed cross join, not a full cartesian.
+        population = population.withColumn("__jk", F.lit(1))
+        peripheral = peripheral.withColumn("__jk", F.lit(1))
+        on = ["__jk"]
 
     t_pop = _epoch(F.col(pop_ts))
     t_peri = _epoch(F.col(peri_ts))

@@ -167,3 +167,40 @@ def test_gapfill_interpolated(spark):
     # linear between 1.0 (00:00) and 4.0 (03:00): 2.0, 3.0
     assert list(out["rate"]) == [1.0, 2.0, 3.0, 4.0, 6.0]
     assert list(out["cnt"]) == [2, 0, 0, 4, 6]
+
+
+def test_rowid_arange_random(spark):
+    from getml_community_spark.functions.scalar import random_column, rowid
+
+    df = spark.range(100).toDF("x")
+    r = rowid(df, order_by=["x"]).toPandas().sort_values("x")
+    assert list(r["rowid"]) == list(range(100))
+    u = rowid(df).toPandas()
+    assert u["rowid"].is_unique
+    rnd = random_column(df, seed=7).toPandas()
+    assert rnd["random"].between(0, 1).all()
+
+
+def test_keyless_asof_join(spark):
+    """on=[] → constant join key both sides (modify_data_frames.cpp:121-131)."""
+    import pandas as pd
+
+    from getml_community_spark.operators.asof_join import asof_features
+
+    pop = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2], "t": [100.0, 200.0]})
+    )
+    peri = spark.createDataFrame(
+        pd.DataFrame({"t2": [50.0, 150.0, 250.0], "v": [1.0, 2.0, 4.0]})
+    )
+    out = (
+        asof_features(
+            pop, peri, on=[], population_id="pid", pop_ts="t", peri_ts="t2",
+            value_col="v", horizon=0.0, memory=1000.0, include={"count", "sum"},
+        )
+        .toPandas()
+        .set_index("pid")
+        .sort_index()
+    )
+    assert out.loc[1, "count"] == 1 and out.loc[1, "sum"] == 1.0
+    assert out.loc[2, "count"] == 2 and out.loc[2, "sum"] == 3.0
