@@ -258,6 +258,40 @@ def q_sliding_window(spark, sf):
 # --------------------------------------------------------------------- #
 # joins / staging
 # --------------------------------------------------------------------- #
+def q_asof_upper_ts(spark, sf):
+    """As-of join with an explicit validity-end column instead of memory
+    (reference upper_time_stamp, Placeholder.hpp:91-94; NULL upper =>
+    open-ended, Matchmaker.hpp:126-131). Peripheral rows are valid for
+    3 days; every 7th row open-ended."""
+    from getml_community_spark.operators.asof_join import asof_match
+
+    orders = _load(spark, sf, "orders")
+    events = (
+        _load(spark, sf, "events")
+        .withColumnRenamed("user_id", "o_custkey")
+        .withColumn(
+            "valid_until",
+            F.when(
+                F.col("event_id") % 7 != 0,
+                F.col("ts") + F.expr("INTERVAL 3 DAYS"),
+            ),
+        )
+    )
+    m = asof_match(
+        orders, events, on="o_custkey", population_id="o_orderkey",
+        pop_ts="o_orderdate", peri_ts="ts", horizon=0.0, memory=None,
+        upper_ts="valid_until", strategy="range",
+        peri_cols=["value", "ts", "valid_until"],
+    )
+    return (
+        m.groupBy(F.col("__pop_id").alias("o_orderkey"))
+        .agg(
+            F.count("value").cast("long").alias("cnt"),
+            _r(F.sum("value")).alias("sum_value"),
+        )
+    )
+
+
 def q_asof_orders_events(spark, sf):
     """The representative reference-shaped query (FIXTURES.md §3):
     as-of window join orders←events + battery."""
@@ -528,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window": q_sliding_window,
         "gorilla_roundtrip_1m": q_gorilla_roundtrip_1m,
         "asof_orders_events": q_asof_orders_events,
+        "asof_upper_ts": q_asof_upper_ts,
         "staging_join": q_staging_join,
         "pricing_summary": q_pricing_summary,
         "concat_union": q_concat_union,
@@ -717,6 +752,21 @@ def oracle_sql() -> dict[str, str]:
                    cast(epoch(date_trunc('minute', ts)) AS bigint) AS bucket_epoch,
                    round(sum(value) / 60.0, 6) AS rate
             FROM events GROUP BY 1, 2
+        """,
+        "asof_upper_ts": """
+            SELECT o.o_orderkey,
+                   count(e.value) AS cnt,
+                   round(sum(e.value), 6) AS sum_value
+            FROM orders o JOIN (
+              SELECT user_id, ts, value,
+                     CASE WHEN event_id % 7 <> 0
+                          THEN ts + INTERVAL 3 DAY END AS valid_until
+              FROM events
+            ) e
+              ON e.user_id = o.o_custkey
+             AND epoch(e.ts) <= epoch(o.o_orderdate)
+             AND (e.valid_until IS NULL OR epoch(e.valid_until) > epoch(o.o_orderdate))
+            GROUP BY 1
         """,
         "asof_orders_events": """
             SELECT o.o_orderkey,

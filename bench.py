@@ -40,6 +40,8 @@ HEADLINE = [
     "text_stats",
     "brute_topk",
     "minhash_dedup",
+    "lag_rolling_1h",
+    "sliding_window",
 ]
 
 

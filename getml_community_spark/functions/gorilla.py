@@ -345,13 +345,9 @@ def decompress_segments(segments):
     def kernel(batches):
         for pdf in batches:
             outs = []
-            for _, row in pdf.iterrows():
-                ts, vals = decode_segment(row["data"])
-                outs.append(
-                    pd.DataFrame(
-                        {"source": row["source"], "ts": ts, "value": vals}
-                    )
-                )
+            for src, blob in zip(pdf["source"].to_numpy(), pdf["data"].to_numpy()):
+                ts, vals = decode_segment(bytes(blob))
+                outs.append(pd.DataFrame({"source": src, "ts": ts, "value": vals}))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 

@@ -117,7 +117,7 @@ def asof_match(
         )
     if upper_ts is not None:
         # reference: NaN/NULL upper ⇒ open-ended (Matchmaker.hpp:126-131)
-        u = F.col(upper_ts).cast("double")
+        u = _epoch(F.col(upper_ts))
         cond = cond & (u.isNull() | F.isnan(u) | (u > F.col("__t_pop")))
     return joined.where(cond)
 
