@@ -292,6 +292,62 @@ def q_asof_upper_ts(spark, sf):
     )
 
 
+def q_asof_categorical_dummy(spark, sf):
+    """Value-extraction variants (fastprop/Aggregator.cpp): categorical
+    dummy (AVG of CASE WHEN event_type='click') and same-units difference
+    (o_totalprice − 1000·value per match) aggregated over the window."""
+    from getml_community_spark.operators.asof_join import asof_features
+
+    orders = _load(spark, sf, "orders")
+    events = _load(spark, sf, "events").withColumnRenamed("user_id", "o_custkey")
+    dummy = asof_features(
+        orders, events, on="o_custkey", population_id="o_orderkey",
+        pop_ts="o_orderdate", peri_ts="ts",
+        value_expr=F.when(F.col("event_type") == "click", 1.0).otherwise(0.0),
+        peri_cols=["event_type", "ts"],
+        horizon=3600.0, memory=7 * 86400.0 - 3600.0,
+        include={"count", "sum", "avg"}, prefix="click_",
+    ).select("o_orderkey", "click_count", "click_sum", "click_avg")
+    diff = asof_features(
+        orders, events, on="o_custkey", population_id="o_orderkey",
+        pop_ts="o_orderdate", peri_ts="ts",
+        value_expr=F.col("__pop_o_totalprice") - F.lit(1000.0) * F.col("value"),
+        peri_cols=["value", "ts"], pop_cols=["o_totalprice"],
+        horizon=3600.0, memory=7 * 86400.0 - 3600.0,
+        include={"avg", "min", "max"}, prefix="du_",
+    ).select("o_orderkey", "du_avg", "du_min", "du_max")
+    out = dummy.join(diff, "o_orderkey")
+    return out.select(
+        "o_orderkey",
+        F.col("click_count").cast("long").alias("click_count"),
+        _r(F.col("click_sum")).alias("click_sum"),
+        _r(F.col("click_avg")).alias("click_avg"),
+        _r(F.col("du_avg")).alias("du_avg"),
+        _r(F.col("du_min")).alias("du_min"),
+        _r(F.col("du_max")).alias("du_max"),
+    )
+
+
+def q_word_features(spark, sf):
+    """Word-occurrence features (the reference's text DataUsed +
+    WordIndex, fastprop/Aggregator.cpp:371-414): for the top-10
+    vocabulary words, per source: number of documents containing the
+    word."""
+    from getml_community_spark.operators.textstats import vocabulary, word_tokens
+
+    docs = _load(spark, sf, "documents")
+    top = [r["word"] for r in vocabulary(docs, "text", min_df=1, max_size=10).collect()]
+    tokens = docs.select(
+        "source", F.explode(F.array_distinct(word_tokens(F.col("text")))).alias("word")
+    )
+    return (
+        tokens.where(F.col("word").isin(top))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "word")
+    )
+
+
 def q_asof_orders_events(spark, sf):
     """The representative reference-shaped query (FIXTURES.md §3):
     as-of window join orders←events + battery."""
@@ -563,6 +619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gorilla_roundtrip_1m": q_gorilla_roundtrip_1m,
         "asof_orders_events": q_asof_orders_events,
         "asof_upper_ts": q_asof_upper_ts,
+        "asof_categorical_dummy": q_asof_categorical_dummy,
+        "word_features": q_word_features,
         "staging_join": q_staging_join,
         "pricing_summary": q_pricing_summary,
         "concat_union": q_concat_union,
@@ -752,6 +810,36 @@ def oracle_sql() -> dict[str, str]:
                    cast(epoch(date_trunc('minute', ts)) AS bigint) AS bucket_epoch,
                    round(sum(value) / 60.0, 6) AS rate
             FROM events GROUP BY 1, 2
+        """,
+        "asof_categorical_dummy": """
+            WITH dummy AS (
+              SELECT o.o_orderkey,
+                     count(CASE WHEN e.user_id IS NULL THEN NULL WHEN e.event_type = 'click' THEN 1.0 ELSE 0.0 END) AS click_count,
+                     round(coalesce(sum(CASE WHEN e.user_id IS NULL THEN NULL WHEN e.event_type = 'click' THEN 1.0 ELSE 0.0 END), 0.0), 6) AS click_sum,
+                     round(avg(CASE WHEN e.user_id IS NULL THEN NULL WHEN e.event_type = 'click' THEN 1.0 ELSE 0.0 END), 6) AS click_avg,
+                     round(avg(o.o_totalprice - 1000.0 * e.value), 6) AS du_avg,
+                     round(min(o.o_totalprice - 1000.0 * e.value), 6) AS du_min,
+                     round(max(o.o_totalprice - 1000.0 * e.value), 6) AS du_max
+              FROM orders o LEFT JOIN events e
+                ON e.user_id = o.o_custkey
+               AND epoch(e.ts) <= epoch(o.o_orderdate) - 3600
+               AND epoch(e.ts) >  epoch(o.o_orderdate) - 604800
+              GROUP BY 1
+            ) SELECT * FROM dummy
+        """,
+        "word_features": """
+            WITH words AS (
+              SELECT source, unnest(list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9'']+'),
+                       x -> x <> ''))) AS word
+              FROM documents
+            ), vocab AS (
+              SELECT word FROM words GROUP BY word
+              ORDER BY count(*) DESC, word ASC LIMIT 10
+            )
+            SELECT source, word, count(*) AS n_docs
+            FROM words WHERE word IN (SELECT word FROM vocab)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "asof_upper_ts": """
             SELECT o.o_orderkey,

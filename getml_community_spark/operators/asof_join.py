@@ -59,6 +59,7 @@ def asof_match(
     upper_ts: str | None = None,
     strategy: str = "auto",
     peri_cols: list[str] | None = None,
+    pop_cols: list[str] | None = None,
 ) -> DataFrame:
     """Return matched (population_id, pop_ts_epoch, peripheral columns)
     pairs under the reference window predicate.
@@ -86,8 +87,15 @@ def asof_match(
     peri = peripheral.select(
         *on, t_peri.alias("__t_peri"), *[F.col(c) for c in keep if c != peri_ts]
     )
+    # pop_cols: population attributes carried into the match frame — the
+    # reference's same_units_* value extraction (population col − peripheral
+    # col per match, fastprop/Aggregator.cpp:282-320) needs them.
+    extra_pop = [c for c in (pop_cols or []) if c not in on and c != population_id]
     pop = population.select(
-        F.col(population_id).alias("__pop_id"), *on, t_pop.alias("__t_pop")
+        F.col(population_id).alias("__pop_id"),
+        *on,
+        t_pop.alias("__t_pop"),
+        *[F.col(c).alias(f"__pop_{c}") for c in extra_pop],
     )
 
     if strategy == "auto":
@@ -129,12 +137,15 @@ def asof_features(
     population_id: str,
     pop_ts: str,
     peri_ts: str,
-    value_col: str,
+    value_col: str | None = None,
     horizon: float = 0.0,
     memory: float | None = None,
     include: set[str] | None = None,
     prefix: str = "",
     strategy: str = "auto",
+    value_expr=None,
+    peri_cols: list[str] | None = None,
+    pop_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-population-row windowed aggregation battery (the reference's
     FEATURE_i tables, AbstractFeature.cpp:89-170, computed as ONE
@@ -148,6 +159,8 @@ def asof_features(
     """
     from .aggregates import battery
 
+    if (value_col is None) == (value_expr is None):
+        raise ValueError("pass exactly one of value_col / value_expr")
     matched = asof_match(
         population,
         peripheral,
@@ -158,10 +171,15 @@ def asof_features(
         horizon=horizon,
         memory=memory,
         strategy=strategy,
-        peri_cols=[value_col, peri_ts],
+        peri_cols=(peri_cols or ([value_col, peri_ts] if value_col else None)),
+        pop_cols=pop_cols,
     )
+    # value_expr enables the reference's value-extraction variants
+    # (fastprop/Aggregator.cpp): categorical dummies
+    # (CASE WHEN c='x' THEN 1 ELSE 0, SQLMaker.cpp:295-307) and
+    # same-units differences (__pop_<col> - peripheral col, :282-320).
     aggs = battery(
-        F.col(value_col),
+        value_expr if value_expr is not None else F.col(value_col),
         ts=F.col("__t_peri"),
         t_ref=F.col("__t_pop"),  # Δt = ts_pop − ts_peri, Aggregator.hpp:415-423
         include=include,
