@@ -23,7 +23,12 @@ def test_rollup_battery_vs_oracle(spark, corpus_df, corpus_pdf):
         },
     ).toPandas()
     o = Oracle()
-    epoch = corpus_pdf["event_time"].astype("int64").to_numpy() / 1e9
+    # µs int64 (< 2^53, exact in float64) — matches Spark's µs/1e6 cast;
+    # ns int64 would exceed 2^53 and round differently
+    epoch = (
+        corpus_pdf["event_time"].astype("datetime64[us]").astype("int64").to_numpy()
+        / 1e6
+    )
     n_checked = 0
     for _, r in got.sample(min(len(got), 60), random_state=3).iterrows():
         b0 = r["bucket_start"].tz_localize(None) if r["bucket_start"].tzinfo else r["bucket_start"]
