@@ -83,6 +83,23 @@ class RollupJob:
         table = self.tables[tier]
         return {p.get("day") for p in table.partitions() if p.get("day")}
 
+    def _reconcile_done(self) -> set[str]:
+        """A day is DONE only if every tier AND the segments table have
+        it. A crash between tier commits leaves a day partially
+        committed; those days are repaired by deleting their partitions
+        everywhere (metadata-only) and recomputing the whole day —
+        snapshot isolation makes the repair itself crash-safe."""
+        sets = [self._done_days(t) for t in self.spec.tiers]
+        sets.append(
+            {p.get("day") for p in self.segments.partitions() if p.get("day")}
+        )
+        complete = set.intersection(*sets)
+        partial = set.union(*sets) - complete
+        if partial:
+            for table in [*self.tables.values(), self.segments]:
+                table.delete_partitions(lambda p: p.get("day") in partial)
+        return complete
+
     # ------------------------------------------------------------ #
     def run(self, max_partitions: int | None = None) -> dict:
         """Process up to ``max_partitions`` pending input days (None =
@@ -96,7 +113,7 @@ class RollupJob:
         all_days = [
             str(r[0]) for r in inp.select("event_date").distinct().orderBy("event_date").collect()
         ]
-        done = self._done_days(spec.tiers[0])
+        done = self._reconcile_done()
         pending = [d for d in all_days if d not in done]
         if max_partitions is not None:
             pending = pending[:max_partitions]
