@@ -565,6 +565,28 @@ def q_brute_topk(spark, sf):
     )
 
 
+def q_embedding_near_dups(spark, sf):
+    """Embedding-cosine near-duplicate pairs (exact baseline; the LSH
+    variant is the scale path, rows-only below)."""
+    from getml_community_spark.operators.dedup import embedding_near_dups
+
+    embs = _load(spark, sf, "embeddings")
+    out = embedding_near_dups(embs, "vec_id", "embedding", threshold=0.35, method="exact")
+    return out.select("id_a", "id_b", _r(F.col("cosine"), 5).alias("cosine"))
+
+
+def q_ivf_topk(spark, sf):
+    """IVF approximate top-k (rows-only: kmeans centroids are seeded but
+    not SQL-reproducible)."""
+    from getml_community_spark.operators.similarity import ivf_topk
+
+    embs = _load(spark, sf, "embeddings")
+    queries = embs.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(embs, queries, k=5, n_centroids=8, n_probe=4, sample_size=1000)
+
+
 def q_minhash_dedup(spark, sf):
     """MinHash+LSH near-dedup (rows-only check: xxhash64 signatures are
     not reproducible in SQL)."""
@@ -636,6 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -991,7 +1015,14 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 5
         """,
-        # minhash_dedup / simhash_pairs / lsh_topk: rows-only (seeded
+        "embedding_near_dups": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 5) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        # minhash_dedup / simhash_pairs / lsh_topk / ivf_topk: rows-only (seeded
         # xxhash64 / random hyperplanes are not reproducible in SQL)
     }
 

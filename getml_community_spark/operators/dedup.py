@@ -26,6 +26,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "ngram_jaccard",
+    "embedding_near_dups",
 ]
 
 # 64-bit mixing constants for the hash families (public xxhash-style odd
@@ -269,3 +270,77 @@ def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
     return F.when(union == 0, 0.0).otherwise(inter / union)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    method: str = "lsh",
+    dim: int | None = None,
+    num_planes: int = 12,
+    num_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    cosine >= threshold and id_a < id_b.
+
+    method="exact": cross join + cosine — O(n^2), the correctness
+    baseline and the oracle for the LSH path.
+    method="lsh": SRP bucket blocking (same random-hyperplane tables as
+    similarity.lsh_topk) — candidates are bucket collisions only, so
+    the pair count is bounded by bucket occupancy, not n^2; exact
+    cosine filters candidates. Recall < 1 by construction; raise
+    num_tables for higher recall.
+    """
+    from .similarity import _random_planes, cosine, srp_signature
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if method == "exact":
+        l, r = base.alias("l"), base.alias("r")
+        pairs = l.join(r, F.col("l.id") < F.col("r.id")).select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            cosine(F.col("l.v"), F.col("r.v")).alias("cosine"),
+        )
+        return pairs.where(F.col("cosine") >= threshold)
+    if method != "lsh":
+        raise ValueError(method)
+    if dim is None:
+        raise ValueError("dim required for method='lsh'")
+    tables = [
+        _random_planes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)
+    ]
+    bucketed = base.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        srp_signature(F.col("v"), tables[t]).alias("bucket"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "v", "tb.table", "tb.bucket")
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            cosine(F.col("l.v"), F.col("r.v")).alias("cosine"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    return cand.where(F.col("cosine") >= threshold)

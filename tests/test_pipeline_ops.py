@@ -205,3 +205,43 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         extract_image_features(df, decoder="pil").collect()
+
+
+def test_embedding_near_dups_exact_vs_lsh(spark, embs):
+    import numpy as np
+
+    from getml_community_spark.operators.dedup import embedding_near_dups
+
+    # plant exact duplicates: union a shifted copy of 20 rows
+    base = embs.limit(20).selectExpr("vec_id + 100000 AS vec_id", "embedding", "label")
+    df = embs.unionByName(base)
+    exact = embedding_near_dups(df, "vec_id", "embedding", threshold=0.999, method="exact").toPandas()
+    planted = {(i, i + 100000) for i in range(20)}
+    found = {tuple(sorted((a, b))) for a, b in zip(exact["id_a"], exact["id_b"])}
+    assert planted <= found
+    lsh = embedding_near_dups(
+        df, "vec_id", "embedding", threshold=0.999, method="lsh", dim=64,
+        num_planes=10, num_tables=8,
+    ).toPandas()
+    found_lsh = {tuple(sorted((a, b))) for a, b in zip(lsh["id_a"], lsh["id_b"])}
+    # identical vectors share every bucket → all planted pairs found
+    assert planted <= found_lsh
+    # LSH finds only true pairs (exact cosine filter)
+    assert found_lsh <= found
+
+
+def test_ivf_topk_self_match_and_recall(spark, embs):
+    from getml_community_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    queries = embs.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(embs, queries, k=5).toPandas()
+    approx = ivf_topk(
+        embs, queries, k=5, n_centroids=8, n_probe=4, sample_size=500
+    ).toPandas()
+    hits = 0
+    for qid, grp in exact.groupby("query_id"):
+        gotset = set(approx[approx["query_id"] == qid]["vec_id"])
+        assert qid in gotset, f"self-match missed for {qid}"
+        hits += len(set(grp["vec_id"]) & gotset)
+    # probing half the cells on clusterless random data: modest recall floor
+    assert hits / len(exact) >= 0.4, hits / len(exact)
