@@ -16,8 +16,49 @@ from pyspark.sql import functions as F
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+_PYFILES_SENT: set[int] = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the engine package to executor Python workers via addPyFile.
+
+    The driver harness may build its own SparkSession without
+    PYTHONPATH=/root/repo; pandas-UDF queries (Gorilla, MinHash) would
+    then fail on workers. addPyFile works post-session-start and is the
+    local-mode analogue of spark-submit --py-files."""
+    key = id(spark)
+    if key in _PYFILES_SENT:
+        return
+    import os
+    import zipfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.join(repo, "getml_community_spark")
+    stamp = int(
+        max(
+            os.path.getmtime(os.path.join(r, f))
+            for r, _, fs in os.walk(pkg)
+            for f in fs
+            if f.endswith(".py")
+        )
+    )
+    zpath = f"/tmp/getml_community_spark_pyfiles_{stamp}.zip"
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, repo))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added or non-local master without file access
+    _PYFILES_SENT.add(key)
+
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_workers_can_import(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
