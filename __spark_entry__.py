@@ -66,6 +66,33 @@ def _r(col, n=6):
     return F.round(col, n)
 
 
+# Orders span 1995-2001 while events span 2024-01, so a window keyed on
+# o_orderdate matches ZERO events (round-1 verdict: vacuous as-of gate).
+# Testdata is read-only, so the as-of contract queries derive a
+# deterministic population timestamp INSIDE the events span — the same
+# arithmetic is written verbatim into the DuckDB oracle SQL:
+# pop_epoch = 2024-01-08T00:00Z + (o_orderkey % 480) hours, covering
+# 2024-01-08 .. 2024-01-27 in hour steps.
+_POP_EPOCH_LIT = 1704672000  # epoch of 2024-01-08T00:00:00Z
+_POP_EPOCH_SQL = f"({_POP_EPOCH_LIT} + (o.o_orderkey % 480) * 3600)"
+
+
+def _with_pop_ts(orders: DataFrame) -> DataFrame:
+    return orders.withColumn(
+        "pop_ts",
+        F.timestamp_seconds(
+            F.lit(_POP_EPOCH_LIT) + (F.col("o_orderkey") % 480) * F.lit(3600)
+        ),
+    )
+
+
+def _hour_bucket(ts_col: str = "ts"):
+    """Hour bucket via epoch-long arithmetic (codegen path; date_trunc is
+    the measured ~9x slower non-codegen path, CLAUDE.md)."""
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    return F.timestamp_seconds((F.floor(epoch / 3600) * 3600).cast("long"))
+
+
 # --------------------------------------------------------------------- #
 # rollup family (events: user_id plays `source`, value plays the metric)
 # --------------------------------------------------------------------- #
@@ -113,12 +140,24 @@ def q_rollup_1d_cascade(spark, sf):
         ),
         "1d",
     )
+    # rate is derived from the ALREADY-ROUNDED sum on both sides: the
+    # cascaded double sum differs from the oracle's direct sum in the
+    # last ulps, and sum/86400 flipped the 6th decimal on 2/4006 rows
+    # (round-1 verdict #2). The final rounding uses floor(x*1e6+0.5)/1e6
+    # — pure IEEE ops that both engines evaluate bit-identically —
+    # because sum/86400 lands on exact .5 ties (169.56/86400=0.0019625)
+    # where Spark's HALF_UP-on-shortest-decimal disagrees with DuckDB's
+    # round-on-binary-value.
+    rate6 = (
+        F.floor(_r(F.col("sum_n_tok")) / F.lit(86400.0) * F.lit(1e6) + F.lit(0.5))
+        / F.lit(1e6)
+    )
     return agg.select(
         F.col("source").alias("user_id"),
         "bucket_start",
         "cnt",
         _r(F.col("sum_n_tok")).alias("sum_value"),
-        _r(F.col("rate")).alias("rate"),
+        rate6.alias("rate"),
     )
 
 
@@ -159,7 +198,7 @@ def q_battery_1h(spark, sf):
 
     ev = _load(spark, sf, "events")
     t = F.col("ts").cast("timestamp").cast("double")
-    bucket = F.date_trunc("hour", F.col("ts"))
+    bucket = _hour_bucket("ts")
     t_ref = bucket.cast("double") + F.lit(3600.0)
     aggs = battery(
         F.col("value"),
@@ -188,7 +227,7 @@ def q_ewma_trend_1h(spark, sf):
 
     ev = (
         _load(spark, sf, "events")
-        .withColumn("bucket_start", F.date_trunc("hour", F.col("ts")))
+        .withColumn("bucket_start", _hour_bucket("ts"))
         .withColumn("t", F.col("ts").cast("timestamp").cast("double"))
         .withColumn("tref", F.col("bucket_start").cast("double") + 3600.0)
     )
@@ -204,9 +243,7 @@ def q_ewma_trend_1h(spark, sf):
 def q_two_pass_1h(spark, sf):
     from getml_community_spark.operators.aggregates import two_pass_battery
 
-    ev = _load(spark, sf, "events").withColumn(
-        "bucket_start", F.date_trunc("hour", F.col("ts"))
-    )
+    ev = _load(spark, sf, "events").withColumn("bucket_start", _hour_bucket("ts"))
     return two_pass_battery(ev, ["user_id", "bucket_start"], "value").select(
         "user_id",
         "bucket_start",
@@ -220,9 +257,7 @@ def q_two_pass_1h(spark, sf):
 def q_mode_1h(spark, sf):
     from getml_community_spark.operators.aggregates import mode_agg
 
-    ev = _load(spark, sf, "events").withColumn(
-        "bucket_start", F.date_trunc("hour", F.col("ts"))
-    )
+    ev = _load(spark, sf, "events").withColumn("bucket_start", _hour_bucket("ts"))
     out = mode_agg(ev, ["user_id", "bucket_start"], "value")
     return out.select("user_id", "bucket_start", _r(F.col("mode")).alias("mode"))
 
@@ -303,10 +338,11 @@ def q_asof_upper_ts(spark, sf):
     """As-of join with an explicit validity-end column instead of memory
     (reference upper_time_stamp, Placeholder.hpp:91-94; NULL upper =>
     open-ended, Matchmaker.hpp:126-131). Peripheral rows are valid for
-    3 days; every 7th row open-ended."""
+    3 days; every 7th row open-ended. Population timestamps are remapped
+    into the events span (see _with_pop_ts) so the gate is non-vacuous."""
     from getml_community_spark.operators.asof_join import asof_match
 
-    orders = _load(spark, sf, "orders")
+    orders = _with_pop_ts(_load(spark, sf, "orders"))
     events = (
         _load(spark, sf, "events")
         .withColumnRenamed("user_id", "o_custkey")
@@ -320,7 +356,7 @@ def q_asof_upper_ts(spark, sf):
     )
     m = asof_match(
         orders, events, on="o_custkey", population_id="o_orderkey",
-        pop_ts="o_orderdate", peri_ts="ts", horizon=0.0, memory=None,
+        pop_ts="pop_ts", peri_ts="ts", horizon=0.0, memory=None,
         upper_ts="valid_until", strategy="range",
         peri_cols=["value", "ts", "valid_until"],
     )
@@ -339,11 +375,11 @@ def q_asof_categorical_dummy(spark, sf):
     (o_totalprice − 1000·value per match) aggregated over the window."""
     from getml_community_spark.operators.asof_join import asof_features
 
-    orders = _load(spark, sf, "orders")
+    orders = _with_pop_ts(_load(spark, sf, "orders"))
     events = _load(spark, sf, "events").withColumnRenamed("user_id", "o_custkey")
     dummy = asof_features(
         orders, events, on="o_custkey", population_id="o_orderkey",
-        pop_ts="o_orderdate", peri_ts="ts",
+        pop_ts="pop_ts", peri_ts="ts",
         value_expr=F.when(F.col("event_type") == "click", 1.0).otherwise(0.0),
         peri_cols=["event_type", "ts"],
         horizon=3600.0, memory=7 * 86400.0 - 3600.0,
@@ -351,7 +387,7 @@ def q_asof_categorical_dummy(spark, sf):
     ).select("o_orderkey", "click_count", "click_sum", "click_avg")
     diff = asof_features(
         orders, events, on="o_custkey", population_id="o_orderkey",
-        pop_ts="o_orderdate", peri_ts="ts",
+        pop_ts="pop_ts", peri_ts="ts",
         value_expr=F.col("__pop_o_totalprice") - F.lit(1000.0) * F.col("value"),
         peri_cols=["value", "ts"], pop_cols=["o_totalprice"],
         horizon=3600.0, memory=7 * 86400.0 - 3600.0,
@@ -391,17 +427,19 @@ def q_word_features(spark, sf):
 
 def q_asof_orders_events(spark, sf):
     """The representative reference-shaped query (FIXTURES.md §3):
-    as-of window join orders←events + battery."""
+    as-of window join orders←events + battery. Population timestamps are
+    remapped into the events span (round-1 verdict #1: o_orderdate never
+    overlaps events, making the old gate vacuous)."""
     from getml_community_spark.operators.asof_join import asof_features
 
-    orders = _load(spark, sf, "orders")
+    orders = _with_pop_ts(_load(spark, sf, "orders"))
     events = _load(spark, sf, "events").withColumnRenamed("user_id", "o_custkey")
     feats = asof_features(
         orders,
         events,
         on="o_custkey",
         population_id="o_orderkey",
-        pop_ts="o_orderdate",
+        pop_ts="pop_ts",
         peri_ts="ts",
         value_col="value",
         horizon=3600.0,
@@ -430,11 +468,17 @@ def q_staging_join(spark, sf):
     orders = _load(spark, sf, "orders")
     cust = _load(spark, sf, "customer")
     j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+    # revenue ~7.4e8 needs 16 significant digits at 6 dp — beyond double's
+    # association-stable range (round-1 verdict #4). Summing as
+    # decimal(18,2) is exact regardless of partial-agg order; one cast to
+    # double at the end is deterministic.
     return (
         j.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            _r(F.sum("o_totalprice")).alias("revenue"),
+            _r(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            ).alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
@@ -596,7 +640,12 @@ def q_vocabulary(spark, sf):
 def q_brute_topk(spark, sf):
     from getml_community_spark.operators.similarity import brute_force_topk
 
-    embs = _load(spark, sf, "embeddings")
+    # float64 on BOTH sides: DuckDB list_cosine_similarity on FLOAT[]
+    # computes float32, so the oracle casts embedding::DOUBLE[] and the
+    # Spark side casts to array<double> (round-1 verdict #5).
+    embs = _load(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     queries = embs.orderBy("vec_id").limit(5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -611,7 +660,9 @@ def q_embedding_near_dups(spark, sf):
     variant is the scale path, rows-only below)."""
     from getml_community_spark.operators.dedup import embedding_near_dups
 
-    embs = _load(spark, sf, "embeddings")
+    embs = _load(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     out = embedding_near_dups(embs, "vec_id", "embedding", threshold=0.35, method="exact")
     return out.select("id_a", "id_b", _r(F.col("cosine"), 5).alias("cosine"))
 
@@ -722,7 +773,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, date_trunc('day', ts) AS bucket_start,
                    count(value) AS cnt,
                    round(sum(value), 6) AS sum_value,
-                   round(sum(value) / 86400.0, 6) AS rate
+                   floor(round(sum(value), 6) / 86400.0 * 1e6 + 0.5) / 1e6 AS rate
             FROM events GROUP BY 1, 2
         """,
         "salted_rollup_1h": """
@@ -817,11 +868,13 @@ def oracle_sql() -> dict[str, str]:
                      max(value) AS mx, min(value) AS mn, avg(value) AS mean
               FROM events GROUP BY 1, 2
             )
+            -- DuckDB sum(CASE...) returns HUGEINT (int128) which hashes
+            -- differently from Spark's BIGINT: cast (round-1 verdict #3)
             SELECT e.user_id, date_trunc('hour', e.ts) AS bucket_start,
-                   sum(CASE WHEN e.value = s.mx THEN 1 ELSE 0 END) AS num_max,
-                   sum(CASE WHEN e.value = s.mn THEN 1 ELSE 0 END) AS num_min,
-                   sum(CASE WHEN e.value > s.mean THEN 1 ELSE 0 END) AS count_above_mean,
-                   sum(CASE WHEN e.value < s.mean THEN 1 ELSE 0 END) AS count_below_mean
+                   CAST(sum(CASE WHEN e.value = s.mx THEN 1 ELSE 0 END) AS BIGINT) AS num_max,
+                   CAST(sum(CASE WHEN e.value = s.mn THEN 1 ELSE 0 END) AS BIGINT) AS num_min,
+                   CAST(sum(CASE WHEN e.value > s.mean THEN 1 ELSE 0 END) AS BIGINT) AS count_above_mean,
+                   CAST(sum(CASE WHEN e.value < s.mean THEN 1 ELSE 0 END) AS BIGINT) AS count_below_mean
             FROM events e JOIN s
               ON s.user_id = e.user_id AND s.bucket_start = date_trunc('hour', e.ts)
             GROUP BY 1, 2
@@ -844,7 +897,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, bucket_start, cnt,
                    lag(cnt, 1) OVER w AS cnt_lag1,
                    lag(cnt, 2) OVER w AS cnt_lag2,
-                   sum(cnt) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3_sum,
+                   CAST(sum(cnt) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3_sum,
                    round(avg(cnt) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS roll3_avg
             FROM dense
             WINDOW w AS (PARTITION BY user_id ORDER BY bucket_start)
@@ -887,11 +940,11 @@ def oracle_sql() -> dict[str, str]:
                      round(max(o.o_totalprice - 1000.0 * e.value), 6) AS du_max
               FROM orders o LEFT JOIN events e
                 ON e.user_id = o.o_custkey
-               AND epoch(e.ts) <= epoch(o.o_orderdate) - 3600
-               AND epoch(e.ts) >  epoch(o.o_orderdate) - 604800
+               AND epoch(e.ts) <= {pop} - 3600
+               AND epoch(e.ts) >  {pop} - 604800
               GROUP BY 1
             ) SELECT * FROM dummy
-        """,
+        """.format(pop=_POP_EPOCH_SQL),
         "word_features": """
             WITH words AS (
               SELECT source, unnest(list_distinct(list_filter(
@@ -917,10 +970,10 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ) e
               ON e.user_id = o.o_custkey
-             AND epoch(e.ts) <= epoch(o.o_orderdate)
-             AND (e.valid_until IS NULL OR epoch(e.valid_until) > epoch(o.o_orderdate))
+             AND epoch(e.ts) <= {pop}
+             AND (e.valid_until IS NULL OR epoch(e.valid_until) > {pop})
             GROUP BY 1
-        """,
+        """.format(pop=_POP_EPOCH_SQL),
         "asof_orders_events": """
             SELECT o.o_orderkey,
                    count(e.value) AS cnt,
@@ -935,13 +988,13 @@ def oracle_sql() -> dict[str, str]:
                    round(arg_max(e.value, epoch(e.ts)), 6) AS last
             FROM orders o LEFT JOIN events e
               ON e.user_id = o.o_custkey
-             AND epoch(e.ts) <= epoch(o.o_orderdate) - 3600
-             AND epoch(e.ts) >  epoch(o.o_orderdate) - 604800
+             AND epoch(e.ts) <= {pop} - 3600
+             AND epoch(e.ts) >  {pop} - 604800
             GROUP BY 1
-        """,
+        """.format(pop=_POP_EPOCH_SQL),
         "staging_join": """
             SELECT c.c_mktsegment, count(*) AS n_orders,
-                   round(sum(o.o_totalprice), 6) AS revenue
+                   round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1 ORDER BY 1
         """,
@@ -1042,11 +1095,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "brute_topk": """
             WITH q AS (
-              SELECT vec_id AS query_id, embedding AS qv
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
               FROM embeddings ORDER BY vec_id LIMIT 5
             ), scored AS (
               SELECT q.query_id, e.vec_id,
-                     list_cosine_similarity(e.embedding, q.qv) AS score
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score
               FROM embeddings e CROSS JOIN q
             )
             SELECT query_id, vec_id, round(score, 5) AS score,
@@ -1057,7 +1110,7 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 5
         """,
         "embedding_near_dups": """
-            WITH e AS (SELECT vec_id, embedding FROM embeddings)
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding, b.embedding), 5) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
