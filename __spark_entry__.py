@@ -667,46 +667,89 @@ def q_embedding_near_dups(spark, sf):
     return out.select("id_a", "id_b", _r(F.col("cosine"), 5).alias("cosine"))
 
 
+def _ivf_fixed_centroids():
+    """Seeded unit centroids for the IVF contract query — fixed (not
+    k-means-trained) so the exact same coarse quantizer can be embedded
+    as literals in the DuckDB oracle. The k-means training path is
+    pytest-gated (recall vs brute force) instead."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    c = rng.standard_normal((8, 64))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return c.tolist()
+
+
 def q_ivf_topk(spark, sf):
-    """IVF approximate top-k (rows-only: kmeans centroids are seeded but
-    not SQL-reproducible)."""
+    """IVF approximate top-k over a FIXED seeded coarse quantizer: the
+    full assign → probe → re-rank plan is deterministic and reproduced
+    verbatim (centroid literals) in the DuckDB oracle."""
     from getml_community_spark.operators.similarity import ivf_topk
 
-    embs = _load(spark, sf, "embeddings")
+    embs = _load(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     queries = embs.orderBy("vec_id").limit(5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(embs, queries, k=5, n_centroids=8, n_probe=4, sample_size=1000)
+    out = ivf_topk(
+        embs, queries, k=5, n_probe=4, centroids=_ivf_fixed_centroids()
+    )
+    return out.select(
+        "query_id", "vec_id", _r(F.col("score"), 5).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 def q_minhash_dedup(spark, sf):
-    """MinHash+LSH near-dedup (rows-only check: xxhash64 signatures are
-    not reproducible in SQL)."""
+    """MinHash+LSH near-dedup with exact-Jaccard verification
+    (LSH-then-verify): candidates come from banded LSH, the keep/drop
+    decision uses the EXACT shingle Jaccard — so the oracle is plain
+    all-pairs Jaccard in DuckDB. P(miss) for a true >= 0.8 pair is
+    (1-0.8^4)^32 ~ 5e-8 (see minhash_lsh_pairs_verified)."""
     from getml_community_spark.operators.dedup import minhash_lsh_dedup
 
     docs = _load(spark, sf, "documents")
-    return minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.8).select(
-        "doc_id", "source"
-    )
+    return minhash_lsh_dedup(
+        docs, "text", "doc_id", threshold=0.8, verify=True
+    ).select("doc_id", "source")
 
 
 def q_simhash_pairs(spark, sf):
-    """SimHash near-dup candidate pairs (rows-only)."""
+    """SimHash near-dup pairs, oracle-exact configuration: md5-derived
+    60-bit token hashes (reproducible in SQL, unlike xxhash64) and
+    max_hamming=3 where the 4x16-bit pigeonhole blocking has recall 1 —
+    so the output EQUALS all-pairs hamming<=3 computed in DuckDB."""
     from getml_community_spark.operators.dedup import simhash_pairs
 
     docs = _load(spark, sf, "documents")
-    return simhash_pairs(docs, "text", "doc_id", max_hamming=8)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda w: w != ""
+    )
+    docs = docs.where(F.size(toks) > 0)
+    out = simhash_pairs(docs, "text", "doc_id", max_hamming=3, token_hash="md5_60")
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def q_lsh_topk(spark, sf):
-    """SRP-LSH approximate similarity (rows-only: random planes)."""
+    """SRP-LSH approximate top-k: the random hyperplanes are seeded and
+    embedded as literals in the DuckDB oracle, so bucketing, candidate
+    set, and re-rank are all oracle-checked end to end."""
     from getml_community_spark.operators.similarity import lsh_topk
 
-    embs = _load(spark, sf, "embeddings")
+    embs = _load(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     queries = embs.orderBy("vec_id").limit(5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(embs, queries, dim=64, k=5, num_planes=10, num_tables=8)
+    out = lsh_topk(embs, queries, dim=64, k=5, num_planes=10, num_tables=8)
+    return out.select(
+        "query_id", "vec_id", _r(F.col("score"), 5).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 # --------------------------------------------------------------------- #
@@ -753,6 +796,159 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "ivf_topk": q_ivf_topk,
     }
+
+
+# DuckDB shingle-set expression matching operators/dedup.py::shingles
+# (word 5-grams over an ASCII [^a-z0-9]+ split, distinct, whole-doc
+# shingle for short docs) — verified token-identical to the Spark side.
+_SHINGLE_CTE = """
+    toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(w[i:i+4], ' ')
+                            for i in generate_series(1, greatest(len(w)-4, 1))]) AS s
+      FROM toks
+    )
+"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """All-pairs SimHash with md5-60 token hashes — the exact oracle for
+    q_simhash_pairs (pigeonhole blocking has recall 1 at hamming<=3)."""
+    hex_parse = (
+        "list_reduce([CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)"
+        " for c in str_split(substr(md5(wtok), 1, 15), '')],"
+        " (a, b) -> a * 16 + b)"
+    )
+    votes = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> '')) AS wtok
+          FROM documents
+        ), h AS (
+          SELECT doc_id, {hex_parse} AS hv FROM toks
+        ), fp AS (
+          SELECT doc_id, ({votes}) AS fp FROM h GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+def _vec_lit(v) -> str:
+    return "[" + ",".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+
+def _lsh_topk_oracle_sql(
+    dim: int = 64, k: int = 5, num_planes: int = 10, num_tables: int = 8,
+    seed: int = 42,
+) -> str:
+    """SRP-LSH top-k with the SAME seeded hyperplanes as lsh_topk,
+    embedded as literals — bucketing + candidates + re-rank in SQL."""
+    from getml_community_spark.operators.similarity import _random_planes
+
+    rows = []
+    for t in range(num_tables):
+        for i, p in enumerate(_random_planes(dim, num_planes, seed + 1000 * t)):
+            rows.append(f"({t}, {i}, {_vec_lit(p)})")
+    values = ",\n              ".join(rows)
+    return f"""
+        WITH planes(tbl, i, p) AS (VALUES {values}),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+              FROM embeddings ORDER BY vec_id LIMIT 5),
+        cb AS (
+          SELECT c.vec_id, pl.tbl,
+                 sum(CASE WHEN list_dot_product(c.v, pl.p) > 0
+                     THEN (CAST(1 AS BIGINT) << pl.i) ELSE 0 END) AS bucket
+          FROM c CROSS JOIN planes pl GROUP BY 1, 2
+        ),
+        qb AS (
+          SELECT q.query_id, pl.tbl,
+                 sum(CASE WHEN list_dot_product(q.v, pl.p) > 0
+                     THEN (CAST(1 AS BIGINT) << pl.i) ELSE 0 END) AS bucket
+          FROM q CROSS JOIN planes pl GROUP BY 1, 2
+        ),
+        cand AS (
+          SELECT DISTINCT qb.query_id, cb.vec_id
+          FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.vec_id,
+                 list_cosine_similarity(c.v, q.v) AS score
+          FROM cand JOIN c ON c.vec_id = cand.vec_id
+                    JOIN q ON q.query_id = cand.query_id
+        )
+        SELECT query_id, vec_id, round(score, 5) AS score,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+               ) AS INT) AS rank
+        FROM scored QUALIFY rank <= {k}
+    """
+
+
+def _ivf_topk_oracle_sql(k: int = 5, n_probe: int = 4) -> str:
+    """IVF top-k with the fixed seeded centroids embedded as literals:
+    nearest-cell assignment (max cosine, max-cell tiebreak to mirror
+    Spark's greatest(struct)), n_probe probing, exact re-rank."""
+    cent = _ivf_fixed_centroids()
+    values = ",\n              ".join(
+        f"({c}, {_vec_lit(v)})" for c, v in enumerate(cent)
+    )
+    return f"""
+        WITH cent(cell, p) AS (VALUES {values}),
+        corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+              FROM embeddings ORDER BY vec_id LIMIT 5),
+        ca AS (
+          SELECT vec_id, cell FROM (
+            SELECT corpus.vec_id, cent.cell,
+                   row_number() OVER (
+                     PARTITION BY corpus.vec_id
+                     ORDER BY list_cosine_similarity(corpus.v, cent.p) DESC,
+                              cent.cell DESC
+                   ) AS rn
+            FROM corpus CROSS JOIN cent
+          ) WHERE rn = 1
+        ),
+        qp AS (
+          SELECT query_id, cell FROM (
+            SELECT q.query_id, cent.cell,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(q.v, cent.p) DESC,
+                              cent.cell DESC
+                   ) AS rn
+            FROM q CROSS JOIN cent
+          ) WHERE rn <= {n_probe}
+        ),
+        cand AS (
+          SELECT qp.query_id, ca.vec_id FROM ca JOIN qp ON ca.cell = qp.cell
+        ),
+        scored AS (
+          SELECT cand.query_id, cand.vec_id,
+                 list_cosine_similarity(corpus.v, q.v) AS score
+          FROM cand JOIN corpus ON corpus.vec_id = cand.vec_id
+                    JOIN q ON q.query_id = cand.query_id
+        )
+        SELECT query_id, vec_id, round(score, 5) AS score,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+               ) AS INT) AS rank
+        FROM scored QUALIFY rank <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1116,8 +1312,20 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
         """,
-        # minhash_dedup / simhash_pairs / lsh_topk / ivf_topk: rows-only (seeded
-        # xxhash64 / random hyperplanes are not reproducible in SQL)
+        "minhash_dedup": """
+            WITH """ + _SHINGLE_CTE + """,
+            losers AS (
+              SELECT DISTINCT b.doc_id AS doc_id
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8
+            )
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
+        "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
+        "lsh_topk": _lsh_topk_oracle_sql(),
+        "ivf_topk": _ivf_topk_oracle_sql(),
     }
 
 

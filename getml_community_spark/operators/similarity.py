@@ -185,6 +185,7 @@ def ivf_topk(
     query_vec_col: str = "embedding",
     sample_size: int = 10000,
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the classic two-level ANN
     index as a Spark plan.
@@ -194,7 +195,10 @@ def ivf_topk(
     relative to the corpus, which never leaves the cluster); corpus rows
     are assigned JVM-side to their nearest centroid (cosine against the
     broadcast centroid literals — a static `greatest(struct(...))`
-    expression, no UDF, no shuffle).
+    expression, no UDF, no shuffle). Pass ``centroids`` (list of unit
+    vectors) to skip training and use a fixed coarse quantizer — e.g. a
+    pretrained codebook, or seeded vectors so the whole plan is
+    reproducible in the driver's SQL oracle.
 
     Query: each query probes its `n_probe` nearest centroid cells; the
     equi-join on cell id bounds candidates to probed cells; exact cosine
@@ -203,23 +207,28 @@ def ivf_topk(
     """
     import numpy as np
 
-    # ---- train centroids on a sample (driver-side numpy) ----
-    sample = np.stack(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in corpus.select(vec_col).limit(sample_size).collect()
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        # ---- train centroids on a sample (driver-side numpy) ----
+        sample = np.stack(
+            [
+                np.asarray(r[0], dtype=np.float64)
+                for r in corpus.select(vec_col).limit(sample_size).collect()
+            ]
+        )
+        sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        rng = np.random.default_rng(seed)
+        cent = sample[
+            rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
         ]
-    )
-    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
-    for _ in range(8):  # spherical k-means iterations
-        assign = (sample @ cent.T).argmax(axis=1)
-        for c in range(len(cent)):
-            m = assign == c
-            if m.any():
-                v = sample[m].mean(axis=0)
-                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+        for _ in range(8):  # spherical k-means iterations
+            assign = (sample @ cent.T).argmax(axis=1)
+            for c in range(len(cent)):
+                m = assign == c
+                if m.any():
+                    v = sample[m].mean(axis=0)
+                    cent[c] = v / max(np.linalg.norm(v), 1e-12)
 
     cent_cols = [
         F.array(*[F.lit(float(x)) for x in cent[c]]) for c in range(len(cent))

@@ -31,9 +31,17 @@ _LANG_MARKERS = {
 }
 
 
-def word_tokens(text: Column) -> Column:
+# Tokenizer split classes. The default is pinned to ASCII because the
+# driver's DuckDB oracle SQL splits on [^a-z0-9']+ — a Unicode class on
+# one side only would silently diverge on any non-ASCII letter (round-1
+# ADVICE). Pass charset="unicode" for multilingual corpora (and use the
+# matching class in any oracle).
+_TOKEN_SPLIT = {"ascii": r"[^a-z0-9']+", "unicode": r"[^\p{L}\p{N}']+"}
+
+
+def word_tokens(text: Column, charset: str = "ascii") -> Column:
     """Whitespace+punctuation tokenizer (array<string>, lower-cased)."""
-    return F.filter(F.split(F.lower(text), r"[^\p{L}\p{N}']+"), lambda w: w != "")
+    return F.filter(F.split(F.lower(text), _TOKEN_SPLIT[charset]), lambda w: w != "")
 
 
 def token_count(text: Column, mode: str = "whitespace") -> Column:

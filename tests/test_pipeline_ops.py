@@ -245,3 +245,115 @@ def test_ivf_topk_self_match_and_recall(spark, embs):
         hits += len(set(grp["vec_id"]) & gotset)
     # probing half the cells on clusterless random data: modest recall floor
     assert hits / len(exact) >= 0.4, hits / len(exact)
+
+
+def test_lsh_bucket_cap_bounds_pathological_bucket(spark):
+    """One boilerplate bucket of b identical docs would emit b^2/2 pairs;
+    max_bucket_size drops the overflowing bucket and bounds the output
+    (round-1 verdict #5). Recall effect: pairs are lost only when EVERY
+    shared band overflows — here all docs are identical, so capping kills
+    all their pairs, which is exactly the intended boilerplate behavior."""
+    from getml_community_spark.operators.dedup import (
+        lsh_bucket_occupancy,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    boiler = [(i, "exact same boilerplate cookie banner text " * 5) for i in range(40)]
+    distinct = [(100 + i, f"document number {i} about topic {i*7%13} entirely") for i in range(10)]
+    df = spark.createDataFrame(boiler + distinct, ["doc_id", "text"])
+
+    uncapped = minhash_lsh_pairs(df, "text", "doc_id").toPandas()
+    assert len(uncapped) >= 40 * 39 / 2  # b^2 blow-up is real
+    capped = minhash_lsh_pairs(df, "text", "doc_id", max_bucket_size=10).toPandas()
+    assert len(capped) < 40 * 39 / 2
+    boiler_ids = set(range(40))
+    assert not any(
+        a in boiler_ids and b in boiler_ids
+        for a, b in zip(capped["id_a"], capped["id_b"])
+    )
+
+    # occupancy histogram is the no-silent-truncation log source
+    from getml_community_spark.operators.dedup import minhash_signature, shingles
+
+    sig = minhash_signature(shingles(F.col("text")), 128)
+    with_sig = df.select(F.col("doc_id").alias("id"), sig.alias("sig"))
+    banded = with_sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.slice(F.col("sig"), b * 4 + 1, 4)).alias("bucket"),
+                )
+                for b in range(32)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    occ = lsh_bucket_occupancy(banded, ["band", "bucket"]).toPandas()
+    assert occ["n_members"].max() == 40  # the boilerplate bucket is visible
+
+    capped_sim = simhash_pairs(df, "text", "doc_id", max_hamming=3, max_bucket_size=10).toPandas()
+    assert not any(
+        a in boiler_ids and b in boiler_ids
+        for a, b in zip(capped_sim["id_a"], capped_sim["id_b"])
+    )
+
+
+def test_exact_dedup_shuffles_fingerprint_not_text(spark, docs):
+    """The dedup shuffle key must be the 128-bit fingerprint, NOT the
+    document text (round-1 verdict #6): assert no string-typed grouping
+    expression reaches the exchange."""
+    from getml_community_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert ex, plan
+    import re
+
+    for ln in ex:
+        keys = re.findall(r"(\w+#\d+[A-Za-z]*)", ln.split("hashpartitioning(")[1])
+        key_cols = [k for k in keys if not k.startswith("plan_id")]
+        # every shuffle key is a LONG (#..L) — never the string text column
+        assert key_cols and all(k.endswith("L") for k in key_cols), ln
+        assert "text" not in ln and "__norm" not in ln, ln
+
+    # same answer as the verify (exact-grouping) path
+    fast = out.toPandas().sort_values("doc_id").reset_index(drop=True)
+    slow = (
+        exact_dedup(docs, "text", "doc_id", verify=True)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_minhash_verified_pairs_match_exact_jaccard(spark, docs):
+    """LSH-then-verify pairs carry the exact shingle Jaccard: cross-check
+    every emitted pair against a pandas recomputation."""
+    from getml_community_spark.operators.dedup import (
+        minhash_lsh_pairs_verified,
+        ngram_jaccard,
+    )
+
+    pairs = minhash_lsh_pairs_verified(docs, "text", "doc_id").toPandas()
+    assert len(pairs) > 0
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def jac(a, b, n=5):
+        def sh(t):
+            import re
+
+            w = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+            k = max(len(w) - n + 1, 1)
+            return {" ".join(w[i : i + n]) for i in range(k)}
+
+        A, B = sh(a), sh(b)
+        return len(A & B) / len(A | B) if A | B else 0.0
+
+    for _, r in pairs.sample(min(len(pairs), 50), random_state=0).iterrows():
+        assert r["jaccard"] == pytest.approx(
+            jac(texts[r["id_a"]], texts[r["id_b"]]), rel=1e-12
+        )
