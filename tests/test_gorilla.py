@@ -92,3 +92,61 @@ def test_spark_compress_decompress_roundtrip(spark, corpus_df):
         got["value"].to_numpy().view(np.uint64),
         want["value"].to_numpy().view(np.uint64),
     )
+
+
+def test_dod_overflow_raises_not_corrupts():
+    """A |dod| >= 2^31 must raise (round-1 ADVICE: the 32-bit escape
+    class silently truncated and decoded wrong timestamps)."""
+    import numpy as np
+    import pytest
+
+    from getml_community_spark.functions.gorilla import encode_segment
+
+    ts = np.array([0, 10, 20 + (1 << 31) + 10], dtype=np.int64)
+    vals = np.array([1.0, 2.0, 3.0])
+    with pytest.raises(ValueError, match="delta-of-delta"):
+        encode_segment(ts, vals)
+    # just below the limit still round-trips
+    from getml_community_spark.functions.gorilla import decode_segment
+
+    ts_ok = np.array([0, 10, 20 + (1 << 31) - 1], dtype=np.int64)
+    t, v = decode_segment(encode_segment(ts_ok, vals))
+    assert (t == ts_ok).all() and (v == vals).all()
+
+
+def test_foreign_10_control_stream_falls_back():
+    """A hand-built stream using the paper's '10' reuse-window control
+    (which our encoder never emits) must still decode via the stateful
+    fallback."""
+    import numpy as np
+
+    from getml_community_spark.functions.gorilla import (
+        _HEADER,
+        _MAGIC,
+        decode_segment,
+    )
+
+    # values: v0 = 1.0 (xor vs 0), v1 identical ('0'), v2 = '10' reusing
+    # v0's (L, M) window with xor of the same shape
+    b0 = np.array([1.0], dtype=np.float64).view(np.uint64)[0]
+    L = 64 - int(b0).bit_length()  # leading zeros
+    # meaningful bits of b0: strip trailing zeros
+    T = (int(b0) & -int(b0)).bit_length() - 1
+    M = 64 - L - T
+    xor2 = int(b0)  # same window shape → flips back to 0.0... use same xor
+    bits = []
+    bits += [1, 1] + [int(x) for x in format(L, "05b")] + [
+        int(x) for x in format(M % 64, "06b")
+    ] + [int(x) for x in format(int(b0) >> T, f"0{M}b")]
+    bits += [0]
+    bits += [1, 0] + [int(x) for x in format(xor2 >> T, f"0{M}b")]
+    val_bits = len(bits)
+    packed = np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
+    ts = np.array([100, 160, 220], dtype=np.int64)
+    # ts stream: delta0=60 ('10'+7b: 60+63=123), dod=0 ('0')
+    tbits = [1, 0] + [int(x) for x in format(60 + 63, "07b")] + [0]
+    tpacked = np.packbits(np.array(tbits, dtype=np.uint8)).tobytes()
+    blob = _HEADER.pack(_MAGIC, 3, 100, len(tbits), val_bits) + tpacked + packed
+    t, v = decode_segment(blob)
+    assert (t == ts).all()
+    assert v[0] == 1.0 and v[1] == 1.0 and v[2] == 0.0
