@@ -106,9 +106,20 @@ class SnapshotTable:
         writer.parquet(path)
         new_entries = []
         if self.partition_by:
+            # capture partition column types so read() can restore them
+            # (directory names are strings; round-1 ADVICE)
+            types = {
+                f.name: f.dataType.simpleString()
+                for f in df.schema.fields
+                if f.name in self.partition_by
+            }
             for sub in self._partition_dirs(path):
                 new_entries.append(
-                    {"path": sub, "partition": self._parse_partition(sub, path)}
+                    {
+                        "path": sub,
+                        "partition": self._parse_partition(sub, path),
+                        "types": types,
+                    }
                 )
         else:
             new_entries.append({"path": path, "partition": {}})
@@ -134,12 +145,20 @@ class SnapshotTable:
 
     @staticmethod
     def _parse_partition(leaf: str, base: str) -> dict:
+        """Parse Hive-style partition dirs, undoing Spark's path encoding:
+        %xx escapes are unquoted and __HIVE_DEFAULT_PARTITION__ maps back
+        to NULL (round-1 ADVICE: values with spaces/'='/non-ASCII or
+        NULLs round-tripped incorrectly as raw directory strings)."""
+        from urllib.parse import unquote
+
         rel = os.path.relpath(leaf, base)
         vals = {}
         for part in rel.split(os.sep):
             if "=" in part:
                 k, v = part.split("=", 1)
-                vals[k] = v
+                vals[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                )
         return vals
 
     def delete_partitions(self, predicate) -> str:
@@ -162,8 +181,12 @@ class SnapshotTable:
         dfs = []
         for e in snap.entries:
             d = spark.read.parquet(e["path"])
+            types = e.get("types", {})
             for k, v in e["partition"].items():
-                d = d.withColumn(k, F.lit(v))
+                col = F.lit(v)
+                if k in types:
+                    col = col.cast(types[k])
+                d = d.withColumn(k, col)
             dfs.append(d)
         return reduce(lambda a, b: a.unionByName(b), dfs)
 
@@ -238,4 +261,22 @@ class JobState:
         done.update(units)
         _atomic_write_json(
             self._path(spec_hash, input_snapshot), {"done": sorted(done)}
+        )
+
+    # ---- per-day input fingerprints (late-data detection) ---------- #
+    def _input_path(self, spec_hash: str) -> str:
+        return os.path.join(self.root, f"input-{spec_hash}.json")
+
+    def last_input(self, spec_hash: str) -> dict | None:
+        """Last recorded input state for this spec:
+        {"snapshot": str, "fps": {day: [rows, hashsum]}}."""
+        p = self._input_path(spec_hash)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def record_input(self, spec_hash: str, snapshot: str, fps: dict) -> None:
+        _atomic_write_json(
+            self._input_path(spec_hash), {"snapshot": snapshot, "fps": fps}
         )

@@ -60,6 +60,13 @@ class RollupJob:
 
     # ------------------------------------------------------------ #
     def _input(self) -> DataFrame:
+        # drop Spark's shared file-status cache for the path: late-data
+        # appends since the last read of this path would otherwise be
+        # invisible to the fingerprint scan within one driver process
+        try:
+            self.spark.catalog.refreshByPath(self.input_path)
+        except Exception:  # noqa: BLE001 — path not yet read anywhere
+            pass
         df = self.spark.read.parquet(self.input_path)
         if "event_date" not in df.columns:
             df = df.withColumn("event_date", F.to_date(self.spec.ts_col))
@@ -79,22 +86,67 @@ class RollupJob:
                     h.update(f"{p}:{os.path.getsize(p)}".encode())
         return h.hexdigest()[:16]
 
+    def _day_fingerprints(self, inp: DataFrame) -> dict:
+        """Per-day input fingerprint: (row count, sum of row hashes) over
+        the job's columns — order-insensitive, one column-pruned agg."""
+        h = F.xxhash64(
+            F.col(self.spec.ts_col).cast("string"),
+            F.col(self.spec.value_col),
+            F.col(self.spec.source_col),
+        )
+        return {
+            str(r["event_date"]): [int(r["rows"]), int(r["hs"])]
+            for r in inp.groupBy("event_date")
+            .agg(F.count(F.lit(1)).alias("rows"), F.sum(h).alias("hs"))
+            .collect()
+        }
+
     def _done_days(self, tier: str) -> set[str]:
         table = self.tables[tier]
         return {p.get("day") for p in table.partitions() if p.get("day")}
 
+    def _tier_required(self, tier: str, day: str, frontier: str) -> bool:
+        """Is ``day`` still inside ``tier``'s retention window (measured
+        from the newest committed day, like apply_retention)?"""
+        import datetime as dt
+
+        keep_s = (self.spec.retention_seconds or {}).get(tier)
+        if keep_s is None:
+            return True
+        cutoff = dt.date.fromisoformat(frontier) - dt.timedelta(seconds=keep_s)
+        return dt.date.fromisoformat(day) >= cutoff
+
     def _reconcile_done(self) -> set[str]:
-        """A day is DONE only if every tier AND the segments table have
-        it. A crash between tier commits leaves a day partially
-        committed; those days are repaired by deleting their partitions
-        everywhere (metadata-only) and recomputing the whole day —
-        snapshot isolation makes the repair itself crash-safe."""
-        sets = [self._done_days(t) for t in self.spec.tiers]
-        sets.append(
-            {p.get("day") for p in self.segments.partitions() if p.get("day")}
-        )
-        complete = set.intersection(*sets)
-        partial = set.union(*sets) - complete
+        """A day is DONE iff every tier THAT IS STILL REQUIRED TO HOLD IT
+        (i.e. inside that tier's retention window) has it, and the
+        segments table (keep-forever) has it. A crash between tier
+        commits leaves a day partially committed; those days are
+        repaired by deleting their partitions everywhere (metadata-only)
+        and recomputing the whole day — snapshot isolation makes the
+        repair itself crash-safe.
+
+        Retention-awareness matters (round-1 ADVICE, high): a day whose
+        fine-tier partitions were expired BY POLICY is complete, not
+        crash-partial — treating it as partial deleted retained
+        coarse-tier history and reprocessed expired days forever."""
+        tier_days = {t: self._done_days(t) for t in self.spec.tiers}
+        seg_days = {
+            p.get("day") for p in self.segments.partitions() if p.get("day")
+        }
+        present: set[str] = set().union(seg_days, *tier_days.values())
+        if not present:
+            return set()
+        frontier = max(present)
+        complete = {
+            d
+            for d in present
+            if d in seg_days
+            and all(
+                d in tier_days[t] or not self._tier_required(t, d, frontier)
+                for t in self.spec.tiers
+            )
+        }
+        partial = present - complete
         if partial:
             for table in [*self.tables.values(), self.segments]:
                 table.delete_partitions(lambda p: p.get("day") in partial)
@@ -114,6 +166,31 @@ class RollupJob:
             str(r[0]) for r in inp.select("event_date").distinct().orderBy("event_date").collect()
         ]
         done = self._reconcile_done()
+
+        # ---- late-data detection (round-1 ADVICE, medium) ----
+        # The skip decision is keyed on (spec_hash, per-day input
+        # fingerprint), not just output-partition presence: when the
+        # global input snapshot changed, re-fingerprint every day (one
+        # column-pruned agg) and re-roll committed days whose input rows
+        # changed. Unchanged snapshot = fast path, no extra scan.
+        last = self.state.last_input(spec_hash)
+        if last is not None and last.get("snapshot") == in_snap:
+            fps = last["fps"]
+        else:
+            fps = self._day_fingerprints(inp)
+            if last is not None:
+                changed = {
+                    d
+                    for d in done
+                    if fps.get(d) != last.get("fps", {}).get(d)
+                }
+                if changed:
+                    for table in [*self.tables.values(), self.segments]:
+                        table.delete_partitions(
+                            lambda p: p.get("day") in changed
+                        )
+                    done -= changed
+
         pending = [d for d in all_days if d not in done]
         if max_partitions is not None:
             pending = pending[:max_partitions]
@@ -127,6 +204,7 @@ class RollupJob:
             "tokens_processed": 0,
         }
         if not pending:
+            self.state.record_input(spec_hash, in_snap, fps)
             summary["wall_seconds"] = time.time() - t0
             return summary
 
@@ -229,6 +307,7 @@ class RollupJob:
         ]
         self.lineage.append(lineage_rows)
         agg.unpersist()
+        self.state.record_input(spec_hash, in_snap, fps)
 
         # ---- retention: metadata-only expiry per tier ----
         self.apply_retention()
