@@ -28,20 +28,79 @@ def _w(ts_pop: str, horizon: float, memory: float | None, ts_peri: str) -> str:
 
 # Portable SQL for each battery aggregation; {v} = value expr, {t} =
 # peripheral epoch, {tr} = reference epoch. Population-variance and
-# linear-interpolation quantile semantics per Aggregations.hpp.
+# linear-interpolation quantile semantics per Aggregations.hpp. The full
+# battery (49 aggregations — every metric the reference's sqlite3 UDAF
+# pack registers, sqlite3/connect.py:104-148) renders as ONE SELECT-list
+# expression each; group-materializing forms (mode, num_max/min,
+# count above/below mean, ewma_trend) use DuckDB list aggregates — the
+# oracle path, not the engine path.
+_DTC = "(CASE WHEN {v} IS NOT NULL THEN ({tr} - {t}) END)"  # Δt, v-paired
+
+
+def _ewma_sql(h: float) -> str:
+    w = f"(CASE WHEN {{v}} IS NOT NULL THEN exp(ln(0.5) * ({{tr}} - {{t}}) / {h}) END)"
+    return f"sum({w} * {{v}}) / nullif(sum({w}), 0)"
+
+
+def _ewma_trend_sql(h: float) -> str:
+    """Weighted-LS intercept with CENTERED second moments
+    (Aggregations.hpp:211-278), as one expression: plain aggregates for
+    sw/mx/my; the centered sums via list aggregates with the aggregate
+    means captured inside the lambda."""
+    w = f"(CASE WHEN {{v}} IS NOT NULL THEN exp(ln(0.5) * ({{tr}} - {{t}}) / {h}) END)"
+    flt = "FILTER (WHERE {v} IS NOT NULL)"
+    sw = f"sum({w})"
+    mx = f"(sum({w} * ({{tr}} - {{t}})) / {sw})"
+    my = f"(sum({w} * {{v}}) / {sw})"
+    zip3 = (
+        f"list_zip(list({w}) {flt}, list({{tr}} - {{t}}) {flt}, list({{v}}) {flt})"
+    )
+    xx = f"list_sum(list_transform({zip3}, p -> p[1] * pow(p[2] - {mx}, 2)))"
+    xy = (
+        f"list_sum(list_transform({zip3},"
+        f" p -> p[1] * (p[2] - {mx}) * (p[3] - {my})))"
+    )
+    return (
+        f"CASE WHEN {sw} IS NULL OR {sw} = 0 THEN NULL "
+        f"WHEN {xx} = 0 OR var_pop({_DTC}) = 0 THEN {my} "
+        f"ELSE {my} - {mx} * (({xy}) / ({xx})) END"
+    )
+
+
+_TS_STRUCT = "(CASE WHEN {v} IS NOT NULL THEN struct_pack(v := {v}, t := {sign}({t})) END)"
+
+
 AGG_SQL = {
-    "count": "count({v})",
+    "count": "cast(count({v}) AS double)",
     "sum": "coalesce(sum({v}), 0.0)",
     "avg": "avg({v})",
     "min": "min({v})",
     "max": "max({v})",
     "median": "median({v})",
-    "q25": "quantile_cont({v}, 0.25)",
-    "q75": "quantile_cont({v}, 0.75)",
-    "q90": "quantile_cont({v}, 0.90)",
     "stddev_pop": "stddev_pop({v})",
     "var_pop": "var_pop({v})",
+    # population (non-excess) skew/kurtosis from raw moments with the
+    # reference's all-identical guard (DuckDB's builtins are SAMPLE
+    # skew/kurtosis — different formula)
+    "skew": (
+        "CASE WHEN var_pop({v}) = 0 THEN 0.0 "
+        "ELSE (avg(pow({v}, 3)) - 3 * avg({v}) * avg(pow({v}, 2)) "
+        "+ 2 * pow(avg({v}), 3)) / pow(var_pop({v}), 1.5) END"
+    ),
+    "kurtosis": (
+        "CASE WHEN var_pop({v}) = 0 THEN 0.0 "
+        "ELSE (avg(pow({v}, 4)) - 4 * avg({v}) * avg(pow({v}, 3)) "
+        "+ 6 * pow(avg({v}), 2) * avg(pow({v}, 2)) "
+        "- 3 * pow(avg({v}), 4)) / pow(var_pop({v}), 2) END"
+    ),
     "count_distinct": "cast(count(DISTINCT {v}) AS double)",
+    "count_distinct_over_count": (
+        "cast(count(DISTINCT {v}) AS double) "
+        "/ nullif(cast(count({v}) AS double), 0.0)"
+    ),
+    "count_minus_count_distinct": (
+        "cast(count({v}) AS double) - cast(count(DISTINCT {v}) AS double)"
+    ),
     "first": "arg_min({v}, {t})",
     "last": "arg_max({v}, {t})",
     "avg_time_between": (
@@ -49,22 +108,65 @@ AGG_SQL = {
         "ELSE (max({t}) - min({t})) / (count({t}) - 1) END"
     ),
     "trend": (
-        "CASE WHEN var_pop({tr} - {t}) = 0 THEN avg({v}) "
-        "ELSE avg({v}) - avg({tr} - {t}) * "
-        "(covar_pop({tr} - {t}, {v}) / var_pop({tr} - {t})) END"
-    ),
-    "ewma_1h": (
-        "sum(exp(ln(0.5) * ({tr} - {t}) / 3600.0) * {v}) / "
-        "sum(exp(ln(0.5) * ({tr} - {t}) / 3600.0))"
-    ),
-    "ewma_1d": (
-        "sum(exp(ln(0.5) * ({tr} - {t}) / 86400.0) * {v}) / "
-        "sum(exp(ln(0.5) * ({tr} - {t}) / 86400.0))"
+        f"CASE WHEN var_pop({_DTC}) = 0 THEN avg({{v}}) "
+        f"ELSE avg({{v}}) - avg({_DTC}) * "
+        f"(covar_pop({_DTC}, {{v}}) / var_pop({_DTC})) END"
     ),
     "variation_coefficient": (
         "CASE WHEN avg({v}) = 0 THEN NULL ELSE var_pop({v}) / avg({v}) END"
     ),
+    # MODE, greatest-value tie rule (Aggregations.hpp:386-402)
+    "mode": (
+        "(list_reduce(map_entries(histogram({v})), (a, b) -> "
+        "CASE WHEN b.value > a.value OR (b.value = a.value AND b.key > a.key) "
+        "THEN b ELSE a END)).key"
+    ),
+    # two-pass family (Aggregations.hpp:404-440, 77-114) — the SQL form
+    # materializes the group as a list (oracle path; the engine uses
+    # two hash aggregations instead)
+    "num_max": (
+        "coalesce(cast(len(list_filter(list({v}), x -> x = max({v}))) AS double), 0.0)"
+    ),
+    "num_min": (
+        "coalesce(cast(len(list_filter(list({v}), x -> x = min({v}))) AS double), 0.0)"
+    ),
+    "count_above_mean": (
+        "coalesce(cast(len(list_filter(list({v}), x -> x > avg({v}))) AS double), 0.0)"
+    ),
+    "count_below_mean": (
+        "coalesce(cast(len(list_filter(list({v}), x -> x < avg({v}))) AS double), 0.0)"
+    ),
+    # TIME SINCE {FIRST,LAST} {MAX,MIN}: lexicographic struct extremum
+    # with the pinned tie direction (Aggregations.hpp:519-615), same
+    # construction as operators/aggregates.py
+    "time_since_last_maximum": (
+        "max({tr}) - max" + _TS_STRUCT.replace("{sign}", "") + ".t"
+    ),
+    "time_since_first_maximum": (
+        "max({tr}) + max" + _TS_STRUCT.replace("{sign}", "-") + ".t"
+    ),
+    "time_since_first_minimum": (
+        "max({tr}) - min" + _TS_STRUCT.replace("{sign}", "") + ".t"
+    ),
+    "time_since_last_minimum": (
+        "max({tr}) + min" + _TS_STRUCT.replace("{sign}", "-") + ".t"
+    ),
 }
+
+# exact linear-interpolation quantiles (Aggregations.hpp:444-469)
+for _q in (0.01, 0.05, 0.10, 0.25, 0.75, 0.90, 0.95, 0.99):
+    AGG_SQL[f"q{int(_q * 100):02d}"] = f"quantile_cont({{v}}, {_q})"
+
+# EWMA / EWMA_TREND families over the reference's half-life bank
+# (Aggregations.hpp:176-278)
+_HALF_LIVES_S = {
+    "1s": 1.0, "1m": 60.0, "1h": 3600.0, "1d": 86400.0,
+    "7d": 7 * 86400.0, "30d": 30 * 86400.0, "90d": 90 * 86400.0,
+    "365d": 365 * 86400.0,
+}
+for _name, _h in _HALF_LIVES_S.items():
+    AGG_SQL[f"ewma_{_name}"] = _ewma_sql(_h)
+    AGG_SQL[f"ewma_trend_{_name}"] = _ewma_trend_sql(_h)
 
 
 def asof_feature_sql(
