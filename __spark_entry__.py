@@ -462,6 +462,157 @@ def q_asof_orders_events(spark, sf):
     )
 
 
+def q_asof_multikey(spark, sf):
+    """Multi-key as-of join (reference composite join keys,
+    modify_data_frames.cpp multi-jk): window match on BOTH
+    (custkey, synthetic key2) with the usual battery."""
+    from getml_community_spark.operators.asof_join import asof_features
+
+    orders = _with_pop_ts(_load(spark, sf, "orders")).withColumn(
+        "k2", F.col("o_orderkey") % 3
+    )
+    events = (
+        _load(spark, sf, "events")
+        .withColumnRenamed("user_id", "o_custkey")
+        .withColumn("k2", F.col("event_id") % 3)
+    )
+    feats = asof_features(
+        orders, events, on=["o_custkey", "k2"], population_id="o_orderkey",
+        pop_ts="pop_ts", peri_ts="ts", value_col="value",
+        horizon=3600.0, memory=7 * 86400.0 - 3600.0,
+        include={"count", "sum", "avg"},
+    )
+    return feats.select(
+        "o_orderkey",
+        F.col("count").cast("long").alias("cnt"),
+        _r(F.col("sum")).alias("sum_value"),
+        _r(F.col("avg")).alias("avg_value"),
+    )
+
+
+def q_string_ops(spark, sf):
+    """§2.3 string surface + as_str/as_num/as_ts casts (scalar.py),
+    driver-gated (round-1 verdict: untested edges)."""
+    from getml_community_spark.functions.scalar import as_num, as_str, as_ts
+
+    o = _load(spark, sf, "orders")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    s = F.date_format(F.col("o_orderdate"), fmt)
+    return o.select(
+        "o_orderkey",
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("cat"),
+        F.upper("o_orderpriority").alias("up"),
+        F.lower("o_orderstatus").alias("lo"),
+        F.substring("o_orderpriority", 1, 3).alias("sub3"),
+        F.col("o_orderpriority").contains("URGENT").cast("int").alias("has_urgent"),
+        F.length("o_orderpriority").cast("int").alias("len_p"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("rep"),
+        as_str(F.col("o_orderkey")).alias("key_str"),
+        _r(as_num(as_str(F.col("o_custkey")))).alias("cust_num"),
+        as_ts(s, [fmt]).cast("long").alias("ts_rt"),
+    )
+
+
+def q_csv_roundtrip(spark, sf):
+    """CSV sink + sniffing reader round-trip (§2.1 read_csv/to_csv,
+    reference CSVSniffer.hpp): write orders to CSV, read back with
+    schema inference, values must survive."""
+    import hashlib
+
+    from getml_community_spark.sources.io import read_csv, to_csv
+
+    o = _load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        _r(F.col("o_totalprice"), 2).alias("price2"),
+    )
+    tag = hashlib.sha1(sf.encode()).hexdigest()[:10]
+    path = f"/tmp/spark_graft_csv_roundtrip_{tag}"
+    to_csv(o, path)
+    back = read_csv(spark, path, header=True, sniff=True)
+    return back.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_orderstatus",
+        _r(F.col("price2").cast("double"), 2).alias("price2"),
+    )
+
+
+_FP_H = 3600.0
+_FP_MEM = 7 * 86400.0 - 3600.0
+_FP_AGGS = ("count", "sum", "avg", "min", "max")
+_FP_CONDS = ("all", "event_type_top1", "event_type_top2", "event_type_top3",
+             "lag0", "lag1")
+
+
+def q_fastprop_features(spark, sf):
+    """FastProp-lite (reference FastProp.cpp:534-870): auto-enumerated
+    conditions x aggregations grid — plain window, top-3 categorical
+    conditions, 2-way lag bank — 30 features in ONE groupBy, oracle-
+    checked against the equivalent CASE-WHEN battery in DuckDB."""
+    from getml_community_spark.operators.fastprop import fastprop_features
+
+    orders = _with_pop_ts(_load(spark, sf, "orders"))
+    events = _load(spark, sf, "events").withColumnRenamed("user_id", "o_custkey")
+    out = fastprop_features(
+        orders, events, on="o_custkey", population_id="o_orderkey",
+        pop_ts="pop_ts", peri_ts="ts", value_cols=["value"],
+        aggs=_FP_AGGS, categorical_cols=("event_type",), n_most_frequent=3,
+        n_lag_splits=2, horizon=_FP_H, memory=_FP_MEM,
+    )
+    sel = [F.col("o_orderkey")]
+    for cond in _FP_CONDS:
+        for a in _FP_AGGS:
+            name = f"{a}__value__{cond}"
+            sel.append(F.col(name) if a == "count" else _r(F.col(name)).alias(name))
+    return out.select(*sel)
+
+
+def _fastprop_oracle_sql() -> str:
+    pop = _POP_EPOCH_SQL
+    h, mem = _FP_H, _FP_MEM
+    step = mem / 2
+    delta = f"({pop} - epoch(e.ts))"
+    conds = {
+        "all": None,
+        **{
+            f"event_type_top{r}": (
+                f"e.event_type = (SELECT catv FROM cats WHERE rk = {r})"
+            )
+            for r in (1, 2, 3)
+        },
+        "lag0": f"{delta} >= {h} AND {delta} < {h + step}",
+        "lag1": f"{delta} >= {h + step} AND {delta} < {h + mem}",
+    }
+    agg_tpl = {
+        "count": "count({x})",
+        "sum": "round(coalesce(sum({x}), 0.0), 6)",
+        "avg": "round(avg({x}), 6)",
+        "min": "round(min({x}), 6)",
+        "max": "round(max({x}), 6)",
+    }
+    cols = []
+    for cname in _FP_CONDS:
+        cexpr = conds[cname]
+        x = "e.value" if cexpr is None else f"CASE WHEN {cexpr} THEN e.value END"
+        for a in _FP_AGGS:
+            cols.append(agg_tpl[a].format(x=x) + f' AS "{a}__value__{cname}"')
+    collist = ",\n               ".join(cols)
+    return f"""
+        WITH cats AS (
+          SELECT event_type AS catv,
+                 row_number() OVER (ORDER BY count(*) DESC, event_type ASC) AS rk
+          FROM events GROUP BY event_type
+        )
+        SELECT o.o_orderkey,
+               {collist}
+        FROM orders o LEFT JOIN events e
+          ON e.user_id = o.o_custkey
+         AND epoch(e.ts) <= {pop} - {h}
+         AND epoch(e.ts) >  {pop} - {h} - {mem}
+        GROUP BY o.o_orderkey
+    """
+
+
 def q_staging_join(spark, sf):
     """Many-to-one staging join (reference staging.cpp:146-229):
     orders ← customer dim (broadcast), revenue per market segment."""
@@ -777,6 +928,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_orders_events": q_asof_orders_events,
         "asof_upper_ts": q_asof_upper_ts,
         "asof_categorical_dummy": q_asof_categorical_dummy,
+        "fastprop_features": q_fastprop_features,
+        "asof_multikey": q_asof_multikey,
+        "string_ops": q_string_ops,
+        "csv_roundtrip": q_csv_roundtrip,
         "word_features": q_word_features,
         "staging_join": q_staging_join,
         "pricing_summary": q_pricing_summary,
@@ -1322,6 +1477,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.source FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
+        "fastprop_features": _fastprop_oracle_sql(),
+        "asof_multikey": """
+            SELECT o.o_orderkey,
+                   count(e.value) AS cnt,
+                   round(coalesce(sum(e.value), 0.0), 6) AS sum_value,
+                   round(avg(e.value), 6) AS avg_value
+            FROM orders o LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND (e.event_id % 3) = (o.o_orderkey % 3)
+             AND epoch(e.ts) <= {pop} - 3600
+             AND epoch(e.ts) >  {pop} - 604800
+            GROUP BY 1
+        """.format(pop=_POP_EPOCH_SQL),
+        "string_ops": """
+            SELECT o_orderkey,
+                   o_orderstatus || '-' || o_orderpriority AS cat,
+                   upper(o_orderpriority) AS up,
+                   lower(o_orderstatus) AS lo,
+                   substring(o_orderpriority, 1, 3) AS sub3,
+                   CASE WHEN contains(o_orderpriority, 'URGENT') THEN 1 ELSE 0 END AS has_urgent,
+                   cast(length(o_orderpriority) AS int) AS len_p,
+                   replace(o_orderpriority, '-', '_') AS rep,
+                   cast(o_orderkey AS varchar) AS key_str,
+                   round(cast(cast(o_custkey AS varchar) AS double), 6) AS cust_num,
+                   cast(epoch(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                                       '%Y-%m-%d %H:%M:%S')) AS bigint) AS ts_rt
+            FROM orders
+        """,
+        "csv_roundtrip": """
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   round(o_totalprice, 2) AS price2
+            FROM orders
         """,
         "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
         "lsh_topk": _lsh_topk_oracle_sql(),

@@ -35,6 +35,7 @@ HEADLINE = [
     "battery_1h",
     "gorilla_roundtrip_1m",
     "asof_orders_events",
+    "fastprop_features",
     "pricing_summary",
     "exact_dedup",
     "text_stats",

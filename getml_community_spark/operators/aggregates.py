@@ -44,6 +44,7 @@ __all__ = [
     "two_pass_battery",
     "mode_agg",
     "ewma_trend_agg",
+    "assert_equal_agg",
 ]
 
 QUANTILES = (0.01, 0.05, 0.10, 0.25, 0.75, 0.90, 0.95, 0.99)
@@ -160,6 +161,23 @@ def battery(
     if include is not None:
         out = {k: c for k, c in out.items() if k in include}
     return [c.alias(prefix + k) for k, c in out.items()]
+
+
+def assert_equal_agg(value: Column, name: str | None = None) -> Column:
+    """ASSERT_EQUAL (reference helpers/Aggregations.hpp:32-47): every
+    value in the group must be identical; returns that value, otherwise
+    the job FAILS at execution time (raise_error inside the aggregate
+    projection — evaluated only on violating groups)."""
+    label = name or "assert_equal"
+    return F.when(F.count_distinct(value) <= 1, F.first(value)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{label}: group has "),
+                F.count_distinct(value).cast("string"),
+                F.lit(" distinct values, expected 1"),
+            )
+        )
+    )
 
 
 def mode_agg(df: DataFrame, keys: list[str], value: str, out: str = "mode") -> DataFrame:

@@ -22,6 +22,9 @@ __all__ = [
     "read_json",
     "read_jdbc",
     "from_pandas",
+    "from_dict",
+    "s3_path",
+    "read_s3",
     "to_csv",
     "to_parquet",
     "to_json",
@@ -101,6 +104,48 @@ def from_pandas(spark: SparkSession, pdf) -> DataFrame:
     Arrow IPC over the socket, ArrowHandler.hpp:56-72; Spark's
     createDataFrame uses Arrow when spark.sql.execution.arrow is on)."""
     return spark.createDataFrame(pdf)
+
+
+def from_dict(spark: SparkSession, data: dict) -> DataFrame:
+    """Column-oriented dict import (reference from_dict,
+    data_frame.py:1856-1875: {col: [values...]}) — transposed to rows
+    driver-side (bounded: a dict literal is driver-sized by definition)."""
+    cols = list(data.keys())
+    n = len(next(iter(data.values()))) if data else 0
+    for c, vals in data.items():
+        if len(vals) != n:
+            raise ValueError(f"column {c!r} has {len(vals)} values, expected {n}")
+    rows = [tuple(data[c][i] for c in cols) for i in range(n)]
+    return spark.createDataFrame(rows, cols)
+
+
+def s3_path(bucket: str, key: str) -> str:
+    """Pin the reference's (bucket, key) S3 convention
+    (data_frame.py:1877-1891 from_s3) onto Spark's s3a:// scheme — the
+    hadoop-aws connector handles credentials/region via standard
+    AWS env/instance configuration."""
+    return f"s3a://{bucket}/{key.lstrip('/')}"
+
+
+def read_s3(
+    spark: SparkSession,
+    bucket: str,
+    keys: str | list[str],
+    fmt: str = "csv",
+    **reader_kwargs,
+) -> DataFrame:
+    """S3 import (reference from_s3): maps (bucket, keys) to s3a:// URIs
+    and delegates to the format reader. Untestable offline (no S3 in
+    the sandbox) — the path convention is unit-tested."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    paths = [s3_path(bucket, k) for k in keys]
+    if fmt == "csv":
+        return read_csv(spark, paths, **reader_kwargs)
+    if fmt == "parquet":
+        return read_parquet(spark, paths)
+    if fmt == "json":
+        return read_json(spark, paths)
+    raise ValueError(fmt)
 
 
 def to_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite"):

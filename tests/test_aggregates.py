@@ -240,3 +240,26 @@ def test_two_pass_battery(spark):
         assert float(got.loc[g, "num_min"]) == o.num_min(v), f"g={g} num_min"
         assert float(got.loc[g, "count_above_mean"]) == o.count_above_mean(v), g
         assert float(got.loc[g, "count_below_mean"]) == o.count_below_mean(v), g
+
+
+def test_assert_equal_agg(spark):
+    """ASSERT_EQUAL (Aggregations.hpp:32-47): returns the common value;
+    raises on a non-constant group."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from getml_community_spark.operators.aggregates import assert_equal_agg
+
+    ok = spark.createDataFrame(
+        [(1, 7.0), (1, 7.0), (2, 9.0)], ["k", "v"]
+    )
+    got = (
+        ok.groupBy("k").agg(assert_equal_agg(F.col("v")).alias("v"))
+        .orderBy("k").collect()
+    )
+    assert [r["v"] for r in got] == [7.0, 9.0]
+
+    bad = spark.createDataFrame([(1, 7.0), (1, 8.0)], ["k", "v"])
+    with pytest.raises(Exception, match="assert_equal"):
+        bad.groupBy("k").agg(assert_equal_agg(F.col("v")).alias("v")).collect()

@@ -204,3 +204,79 @@ def test_keyless_asof_join(spark):
     )
     assert out.loc[1, "count"] == 1 and out.loc[1, "sum"] == 1.0
     assert out.loc[2, "count"] == 2 and out.loc[2, "sum"] == 3.0
+
+
+def test_fastprop_enumeration_and_selection(spark):
+    """FastProp-lite: the conditions x aggregations grid enumerates
+    (1 + n_cat + n_lag) x |aggs| features in one groupBy; empty-match
+    populations get count=0/sum=0.0; sampled-R2 selection ranks a
+    linearly-related feature first."""
+    import pyspark.sql.functions as F
+
+    from getml_community_spark.operators.fastprop import (
+        fastprop_features,
+        select_features,
+        top_categories,
+    )
+
+    pop = spark.createDataFrame(
+        [(i, 100, 1000.0 + i * 50) for i in range(1, 9)] + [(99, 999, 5000.0)],
+        ["pid", "k", "t_pop"],
+    )
+    peri = spark.createDataFrame(
+        [
+            (100, float(t), "a" if t % 3 else "b", float(t) / 100.0)
+            for t in range(0, 1400, 10)
+        ],
+        ["k", "t", "cat", "v"],
+    )
+    out = fastprop_features(
+        pop, peri, on="k", population_id="pid", pop_ts="t_pop", peri_ts="t",
+        value_cols=["v"], aggs=("count", "sum", "avg"),
+        categorical_cols=("cat",), n_most_frequent=2, n_lag_splits=2,
+        horizon=0.0, memory=500.0,
+    )
+    feat_cols = [c for c in out.columns if "__v__" in c]
+    # (all + 2 cats + 2 lags) x 3 aggs
+    assert len(feat_cols) == 5 * 3, feat_cols
+    pdf = out.toPandas().set_index("pid")
+    # key 999 never matches: count 0, sum 0.0, avg NULL
+    assert pdf.loc[99, "count__v__all"] == 0
+    assert pdf.loc[99, "sum__v__all"] == 0.0
+    assert pdf.loc[99, "avg__v__all"] != pdf.loc[99, "avg__v__all"]  # NaN
+    # window (t_pop-500, t_pop]: pid=1 (t_pop=1050) counts t in (550,1050] step10 = 50
+    assert pdf.loc[1, "count__v__all"] == 50
+    # lag split: recent half (0,250] + older half (250,500] partition the window
+    assert (
+        pdf.loc[1, "count__v__lag0"] + pdf.loc[1, "count__v__lag1"]
+        == pdf.loc[1, "count__v__all"]
+    )
+    # categorical conditions partition by top-2 values of cat
+    assert top_categories(peri, "cat", 2) == ["a", "b"]
+    assert (
+        pdf.loc[1, "count__v__cat_top1"] + pdf.loc[1, "count__v__cat_top2"]
+        == pdf.loc[1, "count__v__all"]
+    )
+
+    # selection: avg__v__all tracks t_pop linearly -> highest R2
+    scored = select_features(
+        out.where(F.col("pid") != 99), feat_cols, "t_pop", k=3
+    )
+    assert scored[0][1] > 0.99
+    assert scored[0][0].startswith(("avg__", "sum__", "max__", "min__"))
+
+
+def test_from_dict_and_s3_convention(spark):
+    """from_dict transposes a column dict; s3_path pins the reference's
+    (bucket, key) convention onto s3a://."""
+    import pytest
+
+    from getml_community_spark.sources.io import from_dict, s3_path
+
+    df = from_dict(spark, {"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    assert df.count() == 3
+    assert [r["b"] for r in df.orderBy("a").collect()] == ["x", "y", "z"]
+    with pytest.raises(ValueError, match="expected 3"):
+        from_dict(spark, {"a": [1, 2, 3], "b": ["x"]})
+    assert s3_path("bkt", "/pre/fix/file.csv") == "s3a://bkt/pre/fix/file.csv"
+    assert s3_path("bkt", "k.parquet") == "s3a://bkt/k.parquet"
