@@ -192,6 +192,14 @@ def minhash_lsh_pairs(
     exactness-gated runs on curated data).
     """
     rows_per_band = num_hashes // bands
+    # The shingle pipeline is interpreted (higher-order array functions
+    # don't codegen): spread a narrow input across the cluster first —
+    # metadata no-op when the corpus already has >= default parallelism
+    # partitions (the normal case at scale).
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     sig = minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes)
     with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
     banded = with_sig.select(
@@ -212,6 +220,11 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
+    # persist: the self-join's two branches do NOT share the signature
+    # subtree (no exchange reuse across aliases), so without this the
+    # pandas-UDF signature pass runs twice. Signatures are 128 longs/doc
+    # — the standard LSH practice of materializing the signature matrix.
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -359,6 +372,10 @@ def simhash_pairs(
     chunks (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks equal —
     EXACT recall for max_hamming ≤ 3; above 3 the blocking is a
     heuristic), then filter exact hamming distance ≤ max_hamming."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)  # interpreted fingerprint: spread it
     fp = simhash(F.col(text_col), token_hash=token_hash)
     base = df.select(F.col(id_col).alias("id"), fp.alias("fp"))
     chunks = base.select(
@@ -379,6 +396,7 @@ def simhash_pairs(
         ).alias("cc"),
     ).select("id", "fp", "cc.chunk", "cc.key")
     chunks = _cap_buckets(chunks, ["chunk", "key"], max_bucket_size)
+    chunks = chunks.persist()  # 64-bit fp/doc; avoids double fingerprint pass
     l, r = chunks.alias("l"), chunks.alias("r")
     return (
         l.join(
@@ -427,7 +445,10 @@ def embedding_near_dups(
     similarity.lsh_topk) — candidates are bucket collisions only, so
     the pair count is bounded by bucket occupancy, not n^2; exact
     cosine filters candidates. Recall < 1 by construction; raise
-    num_tables for higher recall.
+    num_tables for higher recall. The bucketed frame (vector ×
+    num_tables) is persisted to avoid a double signature pass across
+    the self-join branches — at very large corpora, pre-materialize the
+    signatures to a table instead and join against that.
     """
     from .similarity import _random_planes, cosine, srp_signature
 
@@ -463,6 +484,7 @@ def embedding_near_dups(
         ).alias("tb"),
     ).select("id", "v", "tb.table", "tb.bucket")
     bucketed = _cap_buckets(bucketed, ["table", "bucket"], max_bucket_size)
+    bucketed = bucketed.persist()  # avoids double SRP-signature pass
     l, r = bucketed.alias("l"), bucketed.alias("r")
     cand = (
         l.join(
