@@ -63,6 +63,7 @@ def fastprop_features(
     categorical_cols: tuple[str, ...] = (),
     n_most_frequent: int = 3,
     n_lag_splits: int = 0,
+    same_units_pairs: tuple[tuple[str, str], ...] = (),
     horizon: float = 0.0,
     memory: float | None = None,
     strategy: str = "auto",
@@ -77,6 +78,10 @@ def fastprop_features(
       - ``lag<j>``: the window's Δt range split into ``n_lag_splits``
         equal sub-ranges (the lag bank, FastProp.cpp:1255-1287),
         j = 0 is the most recent sub-range. Requires ``memory``.
+      - ``same_<pop>_<peri>``: the same-units categorical condition
+        (population column equals peripheral column per match,
+        FastProp.cpp:714-753) for each (pop_col, peri_col) in
+        ``same_units_pairs``.
 
     Feature columns are named ``{agg}__{value_col}__{condition}``. All
     features compute in ONE groupBy over the match frame (single
@@ -89,6 +94,7 @@ def fastprop_features(
     if n_lag_splits and memory is None:
         raise ValueError("lag splits require a finite memory window")
 
+    peri_needed = [*value_cols, *categorical_cols, *(p[1] for p in same_units_pairs)]
     matched = asof_match(
         population,
         peripheral,
@@ -99,7 +105,8 @@ def fastprop_features(
         horizon=horizon,
         memory=memory,
         strategy=strategy,
-        peri_cols=list(dict.fromkeys([*value_cols, *categorical_cols, peri_ts])),
+        peri_cols=list(dict.fromkeys([*peri_needed, peri_ts])),
+        pop_cols=list(dict.fromkeys(p[0] for p in same_units_pairs)) or None,
     )
 
     conditions: list[tuple[str, Column | None]] = [("all", None)]
@@ -108,6 +115,10 @@ def fastprop_features(
             top_categories(peripheral, ccol, n_most_frequent), start=1
         ):
             conditions.append((f"{ccol}_top{r}", F.col(ccol) == F.lit(val)))
+    for pop_col, peri_col in same_units_pairs:
+        conditions.append(
+            (f"same_{pop_col}_{peri_col}", F.col(f"__pop_{pop_col}") == F.col(peri_col))
+        )
     if n_lag_splits:
         # the window predicate is t_peri <= t_pop - h AND
         # t_peri > t_pop - h - mem, i.e. delta = t_pop - t_peri in

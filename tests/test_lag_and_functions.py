@@ -280,3 +280,27 @@ def test_from_dict_and_s3_convention(spark):
         from_dict(spark, {"a": [1, 2, 3], "b": ["x"]})
     assert s3_path("bkt", "/pre/fix/file.csv") == "s3a://bkt/pre/fix/file.csv"
     assert s3_path("bkt", "k.parquet") == "s3a://bkt/k.parquet"
+
+
+def test_fastprop_same_units_condition(spark):
+    """Same-units categorical condition (FastProp.cpp:714-753): count of
+    matches where the population's category equals the peripheral's."""
+    pop = spark.createDataFrame(
+        [(1, 100, 500.0, "a"), (2, 100, 500.0, "b")], ["pid", "k", "t_pop", "seg"]
+    )
+    peri = spark.createDataFrame(
+        [(100, float(t), "a" if t < 300 else "b", 1.0) for t in range(0, 500, 100)],
+        ["k", "t", "seg", "v"],
+    )
+    from getml_community_spark.operators.fastprop import fastprop_features
+
+    out = fastprop_features(
+        pop, peri, on="k", population_id="pid", pop_ts="t_pop", peri_ts="t",
+        value_cols=["v"], aggs=("count",), same_units_pairs=(("seg", "seg"),),
+        horizon=0.0, memory=1000.0,
+    )
+    pdf = out.toPandas().set_index("pid")
+    # window covers t in {0,100,200,300,400}: 3 'a' rows, 2 'b' rows
+    assert pdf.loc[1, "count__v__same_seg_seg"] == 3
+    assert pdf.loc[2, "count__v__same_seg_seg"] == 2
+    assert pdf.loc[1, "count__v__all"] == 5

@@ -108,3 +108,35 @@ def test_asof_bucketed_join_is_equijoin(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_fastprop_grid_is_single_aggregation(spark):
+    """The whole enumerated conditions x aggregations grid (30 features)
+    computes in ONE hash aggregation (partial + final) with zero Python
+    in the plan — FastProp's N-feature-tables-plus-backjoins collapsed
+    into one shuffle."""
+    from getml_community_spark.operators.fastprop import fastprop_features
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "pop_ts",
+        F.timestamp_seconds(
+            F.lit(1704672000) + (F.col("o_orderkey") % 480) * F.lit(3600)
+        ),
+    )
+    events = spark.read.parquet(f"{SF}/events.parquet").withColumnRenamed(
+        "user_id", "o_custkey"
+    )
+    out = fastprop_features(
+        orders, events, on="o_custkey", population_id="o_orderkey",
+        pop_ts="pop_ts", peri_ts="ts", value_cols=["value"],
+        aggs=("count", "sum", "avg", "min", "max"),
+        categorical_cols=("event_type",), n_most_frequent=3, n_lag_splits=2,
+        horizon=3600.0, memory=7 * 86400.0 - 3600.0,
+    )
+    assert len([c for c in out.columns if "__value__" in c]) == 30
+    plan = _plan(out)
+    import re
+
+    assert len(re.findall(r"HashAggregate", plan)) == 2, plan  # partial + final
+    assert plan.count("Exchange") <= 4, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
