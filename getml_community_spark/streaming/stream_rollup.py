@@ -28,7 +28,7 @@ from ..operators.rollup import (
     _is_integral,
 )
 
-__all__ = ["stream_rollup", "stream_corpus_reader"]
+__all__ = ["stream_rollup", "stream_gorilla_segments", "stream_corpus_reader"]
 
 
 def stream_rollup(
@@ -48,6 +48,93 @@ def stream_rollup(
         .groupBy(F.col(source_col).alias("source"), w.alias("w"))
         .agg(*_core_aggs(value_col, sec, _is_integral(stream, value_col)))
         .select("source", F.col("w.start").alias("bucket_start"), *CORE_AGG_COLS)
+    )
+
+
+def stream_gorilla_segments(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    source_col: str = "source",
+    ts_col: str = "event_time",
+    value_col: str = "n_tok",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    maintain open Gorilla segments per (source, day) and emit the
+    compressed blob when the event-time watermark passes the day's end.
+
+    State per group = the day's buffered (epoch, value) points (arrays).
+    Each trigger: merge the batch's points into state and arm an
+    event-time timeout at max(day_end, watermark+1); when the timeout
+    fires the points are sorted, encoded with the same bit-exact
+    encode_segment as the batch path, and emitted once (append mode).
+    Rows later than the watermark never reach the group and belong to
+    the batch re-roll path (RollupJob's input-fingerprint re-roll).
+
+    Output schema matches compress_rollup minus bytes_raw accounting
+    nuances: (source, day, n_points, bytes_raw, bytes_compressed, data).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "source string, day date, n_points int, bytes_raw long, "
+        "bytes_compressed long, data binary"
+    )
+    state_schema = "ts array<long>, vals array<double>"
+
+    def fn(key, pdfs, state):
+        from getml_community_spark.functions.gorilla import encode_segment
+
+        source, day = key
+        if state.hasTimedOut:
+            ts_list, val_list = state.get
+            state.remove()
+            ts = np.asarray(ts_list, dtype=np.int64)
+            vs = np.asarray(val_list, dtype=np.float64)
+            order = np.argsort(ts, kind="stable")
+            blob = encode_segment(ts[order], vs[order])
+            yield pd.DataFrame(
+                {
+                    "source": [source],
+                    "day": [day],
+                    "n_points": [len(ts)],
+                    "bytes_raw": [len(ts) * 16],
+                    "bytes_compressed": [len(blob)],
+                    "data": [blob],
+                }
+            )
+            return
+        new_ts: list = []
+        new_vals: list = []
+        for pdf in pdfs:
+            new_ts.append(pdf["__epoch"].to_numpy(np.int64))
+            new_vals.append(pdf["__val"].to_numpy(np.float64))
+        ts = np.concatenate(new_ts) if new_ts else np.empty(0, np.int64)
+        vs = np.concatenate(new_vals) if new_vals else np.empty(0, np.float64)
+        if state.exists:
+            old_ts, old_vals = state.get
+            ts = np.concatenate([np.asarray(old_ts, np.int64), ts])
+            vs = np.concatenate([np.asarray(old_vals, np.float64), vs])
+        state.update((ts.tolist(), vs.tolist()))
+        # close when the watermark passes the day end; a day already
+        # behind the watermark closes at the next trigger (wm+1)
+        import calendar
+
+        day_end_ms = (calendar.timegm(day.timetuple()) + 86400) * 1000
+        state.setTimeoutTimestamp(max(day_end_ms, state.getCurrentWatermarkMs() + 1))
+
+    prepped = (
+        stream.withWatermark(ts_col, watermark)
+        .withColumn("__epoch", F.col(ts_col).cast("timestamp").cast("long"))
+        .withColumn(
+            "day",
+            F.date_from_unix_date((F.col("__epoch") / F.lit(86400)).cast("int")),
+        )
+        .withColumn("__val", F.col(value_col).cast("double"))
+        .select(F.col(source_col).alias("source"), "day", ts_col, "__epoch", "__val")
+    )
+    return prepped.groupBy("source", "day").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "EventTimeTimeout"
     )
 
 

@@ -34,3 +34,86 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     from .conftest import assert_frames_equal_unordered
 
     assert_frames_equal_unordered(got, want, ["source", "bucket_start"])
+
+
+def test_stream_gorilla_segments_stateful_close(spark, tmp_path):
+    """applyInPandasWithState segment maintenance: a (source, day)
+    segment closes and emits its Gorilla blob once the event-time
+    watermark passes the day end; the blob is bit-identical to the
+    batch encoder over the same points."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from getml_community_spark.functions.gorilla import (
+        decode_segment,
+        encode_segment,
+    )
+    from getml_community_spark.streaming.stream_rollup import (
+        stream_gorilla_segments,
+    )
+
+    src_dir = str(tmp_path / "pts")
+    ckpt = str(tmp_path / "ckpt")
+    day1 = 1704672000  # 2024-01-08T00:00Z
+    day2 = day1 + 86400
+
+    def write_points(name, epochs, vals):
+        df = spark.createDataFrame(
+            list(zip(epochs, [float(v) for v in vals])), ["e", "n_tok"]
+        ).select(
+            F.lit("src-0").alias("source"),
+            F.timestamp_seconds(F.col("e")).alias("event_time"),
+            F.col("n_tok"),
+        )
+        df.coalesce(1).write.mode("append").parquet(src_dir)
+
+    d1_epochs = [day1 + i * 600 for i in range(100)]
+    d1_vals = [100.0 + (i % 7) * 0.25 for i in range(100)]
+    write_points("d1", d1_epochs, d1_vals)
+
+    sink = str(tmp_path / "segs_out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "source string, event_time timestamp, n_tok double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        segs = stream_gorilla_segments(stream, watermark="10 minutes")
+        q = (
+            segs.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        try:
+            return spark.read.parquet(sink).toPandas()
+        except Exception:  # no files yet
+            import pandas as pd
+
+            return pd.DataFrame()
+
+    out1 = run_once()
+    assert len(out1) == 0  # watermark still inside day1: nothing closes
+
+    # day2 arrives in two files -> two triggers: the first advances the
+    # watermark past day1's end, the second fires day1's timeout
+    write_points("d2a", [day2 + i * 600 for i in range(50)], [1.0] * 50)
+    write_points("d2b", [day2 + 40000 + i * 600 for i in range(50)], [2.0] * 50)
+    out2 = run_once()
+    assert len(out2) == 1, out2
+    row = out2.iloc[0]
+    assert str(row["day"]) == "2024-01-08"
+    assert row["n_points"] == 100
+    want_blob = encode_segment(
+        np.array(d1_epochs, dtype=np.int64), np.array(d1_vals)
+    )
+    assert bytes(row["data"]) == want_blob
+    ts, vals = decode_segment(bytes(row["data"]))
+    assert (ts == np.array(d1_epochs)).all()
+    assert (vals == np.array(d1_vals)).all()
