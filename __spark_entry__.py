@@ -222,6 +222,56 @@ def q_battery_1h(spark, sf):
     )
 
 
+def q_battery_full_1h(spark, sf):
+    """The REMAINDER of the 49-agg battery (everything battery_1h does
+    not cover): extra quantiles, skew/kurtosis, count_distinct ratios,
+    the TIME SINCE FIRST/LAST MAX/MIN family, and more EWMA half-lives —
+    oracle-rendered from the same AGG_SQL templates pytest validates.
+
+    skew/kurtosis use the raw-moment form here (identical expression on
+    both engines → hash-stable); the ENGINE battery uses Spark's
+    numerically-stable builtins, cross-checked in pytest with rtol."""
+    from getml_community_spark.operators.aggregates import battery
+
+    ev = _load(spark, sf, "events")
+    t = F.col("ts").cast("timestamp").cast("double")
+    bucket = _hour_bucket("ts")
+    t_ref = bucket.cast("double") + F.lit(3600.0)
+    aggs = battery(
+        F.col("value"), ts=t, t_ref=t_ref, tiebreak=F.col("event_id"),
+        include={
+            "q05", "q95", "var_pop", "count_distinct_over_count",
+            "count_minus_count_distinct", "avg_time_between",
+            "time_since_last_maximum", "time_since_first_maximum",
+            "time_since_first_minimum", "time_since_last_minimum",
+            "ewma_1d", "ewma_7d",
+        },
+    )
+    v = F.col("value")
+    mu = F.avg(v)
+    m2 = F.var_pop(v)
+    raw_skew = F.when(m2 == 0.0, 0.0).otherwise(
+        (F.avg(F.pow(v, 3)) - 3 * mu * F.avg(F.pow(v, 2)) + 2 * F.pow(mu, 3))
+        / F.pow(m2, 1.5)
+    )
+    raw_kurt = F.when(m2 == 0.0, 0.0).otherwise(
+        (
+            F.avg(F.pow(v, 4))
+            - 4 * mu * F.avg(F.pow(v, 3))
+            + 6 * F.pow(mu, 2) * F.avg(F.pow(v, 2))
+            - 3 * F.pow(mu, 4)
+        )
+        / F.pow(m2, 2)
+    )
+    out = ev.groupBy(F.col("user_id"), bucket.alias("bucket_start")).agg(
+        *aggs, raw_skew.alias("skew"), raw_kurt.alias("kurtosis")
+    )
+    keep = [c for c in out.columns if c not in ("user_id", "bucket_start")]
+    return out.select(
+        "user_id", "bucket_start", *[_r(F.col(c)).alias(c) for c in keep]
+    )
+
+
 def q_ewma_trend_1h(spark, sf):
     from getml_community_spark.operators.aggregates import ewma_trend_agg
 
@@ -565,6 +615,32 @@ def q_fastprop_features(spark, sf):
             name = f"{a}__value__{cond}"
             sel.append(F.col(name) if a == "count" else _r(F.col(name)).alias(name))
     return out.select(*sel)
+
+
+def _battery_full_oracle_sql() -> str:
+    """Render the battery_full_1h oracle from the SAME AGG_SQL templates
+    the to_sql transpiler ships (plans/to_sql.py) — one source of truth
+    for every aggregation's portable SQL."""
+    from getml_community_spark.plans.to_sql import AGG_SQL
+
+    metrics = [
+        "q05", "q95", "var_pop", "count_distinct_over_count",
+        "count_minus_count_distinct", "avg_time_between",
+        "time_since_last_maximum", "time_since_first_maximum",
+        "time_since_first_minimum", "time_since_last_minimum",
+        "ewma_1d", "ewma_7d", "skew", "kurtosis",
+    ]
+    v, t = "value", "epoch(ts)"
+    tr = "(floor(epoch(ts) / 3600) * 3600 + 3600)"
+    cols = ",\n               ".join(
+        f"round({AGG_SQL[m].format(v=v, t=t, tr=tr)}, 6) AS {m}" for m in metrics
+    )
+    return f"""
+        SELECT user_id,
+               to_timestamp(floor(epoch(ts) / 3600) * 3600) AS bucket_start,
+               {cols}
+        FROM events GROUP BY 1, 2
+    """
 
 
 def _fastprop_oracle_sql() -> str:
@@ -919,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_rollup_1h": q_salted_rollup_1h,
         "gapfill_1h": q_gapfill_1h,
         "battery_1h": q_battery_1h,
+        "battery_full_1h": q_battery_full_1h,
         "ewma_trend_1h": q_ewma_trend_1h,
         "two_pass_1h": q_two_pass_1h,
         "mode_1h": q_mode_1h,
@@ -1184,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
                          ELSE var_pop(value) / avg(value) END, 6) AS variation_coefficient
             FROM events GROUP BY 1, 2
         """,
+        "battery_full_1h": _battery_full_oracle_sql(),
         "ewma_trend_1h": """
             WITH base AS (
               SELECT user_id, date_trunc('hour', ts) AS bucket_start,
