@@ -928,6 +928,36 @@ def q_ivf_topk(spark, sf):
     )
 
 
+def q_multimodal_features(spark, sf):
+    """Multimodal binary-column plumbing, driver-gated: documents' text
+    bytes play opaque payloads; JVM metadata (byte length, magic-number
+    sniff) + the Arrow-batched mapInPandas feature extractor (fake
+    decoder: per-chunk byte means — deterministic, so the whole path is
+    exactly reproducible in SQL; byte sums are integers → exact in
+    float64 on both engines)."""
+    from getml_community_spark.operators.multimodal import (
+        attach_media_metadata,
+        extract_image_features,
+    )
+
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    meta = attach_media_metadata(docs).select("media_id", "n_bytes", "sniffed_mime")
+    feats = extract_image_features(docs)
+    out = feats.select(
+        "media_id", F.posexplode("features").alias("idx", "fval")
+    ).join(meta, "media_id")
+    return out.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.col("idx").cast("int").alias("idx"),
+        _r(F.col("fval")).alias("fval"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "sniffed_mime",
+    )
+
+
 def q_minhash_dedup(spark, sf):
     """MinHash+LSH near-dedup with exact-Jaccard verification
     (LSH-then-verify): candidates come from banded LSH, the keep/drop
@@ -1019,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "imputation": q_imputation,
         "category_trim": q_category_trim,
         "exact_dedup": q_exact_dedup,
+        "multimodal_features": q_multimodal_features,
         "text_stats": q_text_stats,
         "vocabulary": q_vocabulary,
         "brute_topk": q_brute_topk,
@@ -1503,6 +1534,32 @@ def oracle_sql() -> dict[str, str]:
                          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
                   FROM documents)
             GROUP BY norm
+        """,
+        "multimodal_features": """
+            -- the fake decoder's features: numpy array_split(bytes, 16)
+            -- chunk means. Split sizes: first (n % 16) chunks get
+            -- n//16 + 1 bytes, the rest n//16 (all docs have n >= 16).
+            WITH b AS (
+              SELECT doc_id, text, octet_length(encode(text)) AS n
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, text, n, unnest(range(0, n)) AS i FROM b
+            ), chunked AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN i < ((n // 16) + 1) * (n % 16)
+                          THEN i // ((n // 16) + 1)
+                          ELSE (n % 16) + (i - ((n // 16) + 1) * (n % 16)) // (n // 16)
+                     END AS INT) AS idx,
+                     ord(substr(text, CAST(i + 1 AS INT), 1)) AS byte
+              FROM pos
+            ), agg AS (
+              SELECT doc_id, idx, round(avg(byte), 6) AS fval
+              FROM chunked GROUP BY 1, 2
+            )
+            SELECT a.doc_id, a.idx, a.fval,
+                   CAST(b.n AS BIGINT) AS n_bytes,
+                   'application/octet-stream' AS sniffed_mime
+            FROM agg a JOIN b ON a.doc_id = b.doc_id
         """,
         "text_stats": """
             SELECT doc_id,
