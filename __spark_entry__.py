@@ -191,6 +191,48 @@ def q_gapfill_1h(spark, sf):
     )
 
 
+def q_gapfill_interp_1h(spark, sf):
+    """Gap-fill with per-source LINEAR INTERPOLATION of the rate across
+    gap buckets (applyInPandas path) — oracle: window-function
+    interpolation (prev/next known value + linear blend) in DuckDB."""
+    from getml_community_spark.operators.gapfill import gapfill_interpolated
+    from getml_community_spark.operators.rollup import rollup_from_raw
+
+    ev = _load(spark, sf, "events")
+    agg = rollup_from_raw(ev, "1h", source_col="user_id", ts_col="ts", value_col="value")
+    dense = gapfill_interpolated(agg, 3600, value_cols=("rate",))
+    # midpoint interpolation lands EXACTLY on .5e-6 quantization
+    # boundaries (measured: engines agree to 1 ulp, but 45/105k values
+    # sit on the boundary, so floor(x*1e6+0.5) flips). Shift the
+    # boundary off the data's grid by 1e-4 grid units on BOTH sides —
+    # a hash canonicalization, not a numeric claim.
+    rate6 = F.floor(F.col("rate") * F.lit(1e6) + F.lit(0.5001)) / F.lit(1e6)
+    return dense.select(
+        F.col("source").alias("user_id"),
+        "bucket_start",
+        F.col("cnt").cast("long").alias("cnt"),
+        rate6.alias("rate"),
+    )
+
+
+def q_json_extract(spark, sf):
+    """JSON column surface (§2.1 from_json/get_json_object): extract
+    props.$.k per event, aggregate per event_type."""
+    ev = _load(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(k).alias("n"),
+            F.sum(k).cast("long").alias("sum_k"),
+            _r(F.avg(k)).alias("avg_k"),
+            F.min(k).cast("int").alias("min_k"),
+            F.max(k).cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_battery_1h(spark, sf):
     """Extended aggregation battery per (user_id, hour bucket) — one
     single-pass groupBy (SURVEY.md §2.6)."""
@@ -1024,6 +1066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "salted_rollup_1h": q_salted_rollup_1h,
         "gapfill_1h": q_gapfill_1h,
+        "gapfill_interp_1h": q_gapfill_interp_1h,
+        "json_extract": q_json_extract,
         "battery_1h": q_battery_1h,
         "battery_full_1h": q_battery_full_1h,
         "ewma_trend_1h": q_ewma_trend_1h,
@@ -1257,6 +1301,55 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(a.sv, 0) / 3600.0, 6) AS rate
             FROM spine s LEFT JOIN agg a
               ON a.user_id = s.user_id AND a.b = s.bucket_start
+        """,
+        "gapfill_interp_1h": """
+            WITH agg AS (
+              SELECT user_id, date_trunc('hour', ts) AS b,
+                     count(value) AS cnt, sum(value) / 3600.0 AS rate
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT user_id, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1
+            ), spine AS (
+              SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+              FROM bounds
+            ), dense AS (
+              SELECT s.user_id, s.bucket_start,
+                     coalesce(a.cnt, 0) AS cnt,
+                     a.rate AS v,
+                     epoch(s.bucket_start) AS t
+              FROM spine s LEFT JOIN agg a
+                ON a.user_id = s.user_id AND a.b = s.bucket_start
+            ), w AS (
+              SELECT *,
+                last_value(v IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+                first_value(v IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY t
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY t
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+              FROM dense
+            )
+            SELECT user_id, bucket_start, CAST(cnt AS BIGINT) AS cnt,
+                   floor((CASE WHEN v IS NOT NULL THEN v
+                          WHEN pv IS NULL THEN nv
+                          WHEN nv IS NULL THEN pv
+                          ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END) * 1e6 + 0.5001) / 1e6 AS rate
+            FROM w
+        """,
+        "json_extract": """
+            SELECT event_type,
+                   count(CAST(json_extract(props, '$.k') AS INT)) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                   round(avg(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k,
+                   CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+                   CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "battery_1h": """
             SELECT user_id,
