@@ -72,6 +72,7 @@ def battery(
     tiebreak: Column | None = None,
     prefix: str = "",
     include: set[str] | None = None,
+    approx: bool = False,
 ) -> list[Column]:
     """Full single-pass aggregation battery as aliased Columns.
 
@@ -81,18 +82,31 @@ def battery(
               seconds — must be constant within each group
     tiebreak  deterministic intra-ts tiebreaker (e.g. doc_id/rowid)
     include   subset of metric names to emit (None = all)
+    approx    scale path: sketch-based median/quantiles
+              (percentile_approx, bounded rank error) and HLL++
+              count_distinct. The EXACT path (default) buffers each
+              group's values for the order statistics — fine for
+              bounded tier buckets, unbounded state for giant groups;
+              flip this on when a group can hold millions of rows and
+              the reference-exactness gate doesn't apply.
     """
     v = clean(value)
     out: dict[str, Column] = {}
 
+    acc = F.lit(10000)  # percentile_approx accuracy: ~1/10000 rank error
     out["count"] = F.count(v).cast("double")
     out["sum"] = F.coalesce(F.sum(v), F.lit(0.0))
     out["avg"] = F.avg(v)
     out["min"] = F.min(v)
     out["max"] = F.max(v)
-    out["median"] = F.median(v)
-    for q in QUANTILES:
-        out[f"q{int(q * 100):02d}"] = F.percentile(v, F.lit(q))
+    if approx:
+        out["median"] = F.percentile_approx(v, F.lit(0.5), acc)
+        for q in QUANTILES:
+            out[f"q{int(q * 100):02d}"] = F.percentile_approx(v, F.lit(q), acc)
+    else:
+        out["median"] = F.median(v)
+        for q in QUANTILES:
+            out[f"q{int(q * 100):02d}"] = F.percentile(v, F.lit(q))
     out["var_pop"] = F.var_pop(v)
     out["stddev_pop"] = F.stddev_pop(v)
     # all-identical guard (var==0 → 0.0), Aggregations.hpp:473-498/:302-327
@@ -100,7 +114,10 @@ def battery(
     out["kurtosis"] = F.when(F.var_pop(v) == 0.0, 0.0).otherwise(
         F.kurtosis(v) + F.lit(3.0)
     )
-    out["count_distinct"] = F.count_distinct(v).cast("double")
+    if approx:
+        out["count_distinct"] = F.approx_count_distinct(v).cast("double")
+    else:
+        out["count_distinct"] = F.count_distinct(v).cast("double")
     out["count_distinct_over_count"] = out["count_distinct"] / F.nullif(
         out["count"], F.lit(0.0)
     )

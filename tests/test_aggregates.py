@@ -263,3 +263,38 @@ def test_assert_equal_agg(spark):
     bad = spark.createDataFrame([(1, 7.0), (1, 8.0)], ["k", "v"])
     with pytest.raises(Exception, match="assert_equal"):
         bad.groupBy("k").agg(assert_equal_agg(F.col("v")).alias("v")).collect()
+
+
+def test_battery_approx_path_bounds_error(spark):
+    """The approx=True scale path (percentile_approx + HLL++) stays
+    within its documented error bounds vs the exact battery on a
+    100k-row group, and its plan keeps partial aggregation."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from getml_community_spark.operators.aggregates import battery
+
+    n = 100_000
+    df = spark.range(n).select(
+        (F.col("id") % 10).alias("k"),
+        (F.rand(7) * 1000.0).alias("v"),
+    )
+    include = {"count", "median", "q25", "q90", "count_distinct", "sum"}
+    exact = (
+        df.groupBy("k").agg(*battery(F.col("v"), include=include)).toPandas()
+        .set_index("k").sort_index()
+    )
+    approx = (
+        df.groupBy("k")
+        .agg(*battery(F.col("v"), include=include, approx=True))
+        .toPandas().set_index("k").sort_index()
+    )
+    assert (exact["count"] == approx["count"]).all()
+    assert np.allclose(exact["sum"], approx["sum"])
+    for c in ("median", "q25", "q90"):
+        # rank error 1e-4 on ~10k-row groups of U(0,1000): value error
+        # well under 1% of the range
+        assert np.abs(exact[c] - approx[c]).max() < 10.0, c
+    # HLL++ default standard error ~2.3%
+    rel = np.abs(exact["count_distinct"] - approx["count_distinct"]) / exact["count_distinct"]
+    assert rel.max() < 0.10
