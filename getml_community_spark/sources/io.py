@@ -29,6 +29,7 @@ __all__ = [
     "to_parquet",
     "to_json",
     "to_jdbc",
+    "to_bucketed_table",
 ]
 
 
@@ -166,6 +167,28 @@ def to_parquet(
 
 def to_json(df: DataFrame, path: str, mode: str = "overwrite"):
     df.write.mode(mode).json(path)
+
+
+def to_bucketed_table(
+    df: DataFrame,
+    name: str,
+    buckets: int,
+    bucket_cols: list[str] | str,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED table (hash-clustered files per bucket
+    column): two tables bucketed the same way join WITHOUT a shuffle —
+    the co-located-join strategy for repeated large-large joins (e.g.
+    population x peripheral on the join key at every feature build).
+    Bucket counts should match on both sides; pick ~(table size /
+    shuffle-partition target)."""
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
+    w = df.write.mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else sort_cols
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(name)
 
 
 def to_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", properties: dict | None = None):

@@ -140,3 +140,29 @@ def test_fastprop_grid_is_single_aggregation(spark):
     assert len(re.findall(r"HashAggregate", plan)) == 2, plan  # partial + final
     assert plan.count("Exchange") <= 4, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed identically on the join key sort-merge-join
+    with ZERO exchanges — the co-located join strategy for repeated
+    large-large joins."""
+    from getml_community_spark.sources.io import to_bucketed_table
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    events = spark.read.parquet(f"{SF}/events.parquet").withColumnRenamed(
+        "user_id", "o_custkey"
+    )
+    to_bucketed_table(orders, "b_orders", 8, "o_custkey", sort_cols="o_custkey")
+    to_bucketed_table(events, "b_events", 8, "o_custkey", sort_cols="o_custkey")
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(spark.table("b_events"), "o_custkey")
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_events")

@@ -117,3 +117,34 @@ def test_stream_gorilla_segments_stateful_close(spark, tmp_path):
     ts, vals = decode_segment(bytes(row["data"]))
     assert (ts == np.array(d1_epochs)).all()
     assert (vals == np.array(d1_vals)).all()
+
+
+def test_streamed_tier_feeds_batch_cascade(spark, tmp_path):
+    """The streaming 1m tier is a drop-in lower tier for the batch
+    cascade: cascade(stream_1m -> 1h) == rollup_from_raw(raw, 1h)."""
+    from getml_community_spark.datagen import write_corpus_parquet
+    from getml_community_spark.operators.rollup import (
+        rollup_cascade,
+        rollup_from_raw,
+    )
+    from getml_community_spark.streaming.stream_rollup import (
+        stream_corpus_reader,
+        stream_rollup,
+    )
+
+    from .conftest import assert_frames_equal_unordered
+
+    path = str(tmp_path / "corpus")
+    write_corpus_parquet(spark, 2000, path, with_tokens=False)
+    q = (
+        stream_rollup(stream_corpus_reader(spark, path), "1m")
+        .writeStream.format("memory")
+        .queryName("tier_1m_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = rollup_cascade(spark.table("tier_1m_stream"), "1h").toPandas()
+    want = rollup_from_raw(spark.read.parquet(path), "1h").toPandas()
+    assert_frames_equal_unordered(got, want, ["source", "bucket_start"])
