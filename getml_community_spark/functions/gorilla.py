@@ -579,16 +579,19 @@ def compress_rollup(
     )
 
 
-def decompress_segments(segments):
+def decompress_segments(segments, chunk_segments: int = 1024):
     """Inverse: compressed segments table → (source, ts, value) rows via
-    ``mapInPandas``. The WHOLE Arrow batch of segments decodes in one
-    vectorized :func:`decode_segments` call (no per-segment Python)."""
+    ``mapInPandas``. Segments decode in vectorized
+    :func:`decode_segments` calls of at most ``chunk_segments`` blobs
+    (no per-segment Python; chunking bounds the concatenated bit-buffer
+    working set to ~chunk x segment-size regardless of the Arrow batch
+    size)."""
     def kernel(batches):
         for pdf in batches:
-            if not len(pdf):
-                continue
-            ts, vals, ns = decode_segments(pdf["data"].to_numpy())
-            src = np.repeat(pdf["source"].to_numpy(), ns)
-            yield pd.DataFrame({"source": src, "ts": ts, "value": vals})
+            for i in range(0, len(pdf), chunk_segments):
+                sub = pdf.iloc[i : i + chunk_segments]
+                ts, vals, ns = decode_segments(sub["data"].to_numpy())
+                src = np.repeat(sub["source"].to_numpy(), ns)
+                yield pd.DataFrame({"source": src, "ts": ts, "value": vals})
 
     return segments.mapInPandas(kernel, "source string, ts long, value double")

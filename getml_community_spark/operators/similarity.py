@@ -19,8 +19,6 @@ queries); LSH bounds candidates for large query sets.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["cosine", "brute_force_topk", "srp_signature", "lsh_topk", "ivf_topk"]
