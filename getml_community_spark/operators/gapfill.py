@@ -25,7 +25,17 @@ __all__ = ["gapfill", "gapfill_interpolated"]
 
 
 def _spine(agg: DataFrame, tier_seconds: int, per_source: bool) -> DataFrame:
-    interval = f"interval {tier_seconds} seconds"
+    """Regular (source, bucket_start) spine over each source's span.
+
+    TWO-LEVEL generation: explode day-sized chunks first, then the
+    intra-chunk offsets — a single sequence() array is bounded to
+    86400/tier_seconds entries (1440 at 1m), so a source spanning YEARS
+    never materializes one multi-million-element array in one row (a
+    flat sequence(lo, hi) would: 10y of 1m buckets = 5.3M entries /
+    ~42 MB in a single row). The chunk explode also spreads a long
+    span's spine rows across partitions instead of one task."""
+    chunk = 86400 if tier_seconds <= 86400 else tier_seconds
+    per_chunk = chunk // tier_seconds
     if per_source:
         bounds = agg.groupBy("source").agg(
             F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
@@ -35,9 +45,35 @@ def _spine(agg: DataFrame, tier_seconds: int, per_source: bool) -> DataFrame:
             F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
         )
         bounds = agg.select("source").distinct().crossJoin(F.broadcast(g))
-    return bounds.select(
+    lo_e = F.col("lo").cast("timestamp").cast("long")
+    hi_e = F.col("hi").cast("timestamp").cast("long")
+    chunks = bounds.select(
         "source",
-        F.explode(F.expr(f"sequence(lo, hi, {interval})")).alias("bucket_start"),
+        lo_e.alias("__lo"),
+        hi_e.alias("__hi"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((hi_e - lo_e) / F.lit(chunk)).cast("long"),
+            )
+        ).alias("__c"),
+    )
+    offs = chunks.select(
+        "source",
+        "__lo",
+        "__hi",
+        "__c",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(per_chunk - 1).cast("long"))
+        ).alias("__i"),
+    )
+    b = F.col("__lo") + (
+        F.col("__c") * F.lit(per_chunk) + F.col("__i")
+    ) * F.lit(tier_seconds)
+    return (
+        offs.select("source", "__hi", b.alias("__b"))
+        .where(F.col("__b") <= F.col("__hi"))
+        .select("source", F.timestamp_seconds(F.col("__b")).alias("bucket_start"))
     )
 
 
