@@ -1,0 +1,171 @@
+"""FastPropPipeline — the reference's Pipeline UX
+(src/python-api/getml/pipeline/pipeline.py: fit / transform / to_sql)
+over the Spark-native FastProp-lite enumeration.
+
+fit(): enumerate the conditions × aggregations grid on the training
+population (one multi-aggregate groupBy), optionally score features by
+sampled single-feature R² against a target (the reference's selection,
+FastProp.cpp:270,550) and keep the top_k. transform(): compute exactly
+the fitted features for any population (same spec, new rows). to_sql():
+render each fitted feature as one portable SQL expression from the
+AGG_SQL templates (the reference's per-feature transpilation,
+HumanReadableSQLGenerator.cpp), so the fitted pipeline can run on any
+ANSI engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from ..operators.fastprop import fastprop_features, select_features
+
+__all__ = ["FastPropPipeline"]
+
+
+@dataclass
+class FastPropPipeline:
+    """Declarative feature-learning pipeline (fit → transform → to_sql).
+
+    Join/window spec mirrors asof_features; enumeration knobs mirror
+    fastprop_features. ``top_k`` with a target column at fit time turns
+    on sampled-R² selection.
+    """
+
+    on: list[str] | str
+    population_id: str
+    pop_ts: str
+    peri_ts: str
+    value_cols: list[str]
+    aggs: tuple[str, ...] = ("count", "sum", "avg", "min", "max")
+    categorical_cols: tuple[str, ...] = ()
+    n_most_frequent: int = 3
+    n_lag_splits: int = 0
+    same_units_pairs: tuple[tuple[str, str], ...] = ()
+    horizon: float = 0.0
+    memory: float | None = None
+    top_k: int | None = None
+    sample_fraction: float | None = None
+
+    # fitted state
+    features_: list[str] = field(default_factory=list, repr=False)
+    scores_: list[tuple[str, float]] = field(default_factory=list, repr=False)
+    fitted_: bool = False
+
+    def _compute(self, population: DataFrame, peripheral: DataFrame) -> DataFrame:
+        return fastprop_features(
+            population,
+            peripheral,
+            on=self.on,
+            population_id=self.population_id,
+            pop_ts=self.pop_ts,
+            peri_ts=self.peri_ts,
+            value_cols=self.value_cols,
+            aggs=self.aggs,
+            categorical_cols=self.categorical_cols,
+            n_most_frequent=self.n_most_frequent,
+            n_lag_splits=self.n_lag_splits,
+            same_units_pairs=self.same_units_pairs,
+            horizon=self.horizon,
+            memory=self.memory,
+        )
+
+    def fit(
+        self,
+        population: DataFrame,
+        peripheral: DataFrame,
+        target_col: str | None = None,
+    ) -> "FastPropPipeline":
+        out = self._compute(population, peripheral)
+        enumerated = [c for c in out.columns if "__" in c]
+        if target_col is not None and self.top_k is not None:
+            self.scores_ = select_features(
+                out,
+                enumerated,
+                target_col,
+                k=self.top_k,
+                sample_fraction=self.sample_fraction,
+            )
+            self.features_ = [f for f, _ in self.scores_]
+        else:
+            self.features_ = enumerated
+            self.scores_ = []
+        self.fitted_ = True
+        return self
+
+    def transform(self, population: DataFrame, peripheral: DataFrame) -> DataFrame:
+        """Population id + the fitted feature columns for NEW data."""
+        if not self.fitted_:
+            raise RuntimeError("fit() before transform()")
+        out = self._compute(population, peripheral)
+        return out.select(self.population_id, *self.features_)
+
+    def fit_transform(
+        self,
+        population: DataFrame,
+        peripheral: DataFrame,
+        target_col: str | None = None,
+    ) -> DataFrame:
+        return self.fit(population, peripheral, target_col).transform(
+            population, peripheral
+        )
+
+    def to_sql(
+        self,
+        population: str = "population",
+        peripheral: str = "peripheral",
+        peri_key: str | None = None,
+    ) -> dict[str, str]:
+        """Portable SQL per fitted feature: one SELECT per feature over
+        the windowed LEFT JOIN (the reference transpiles one CREATE
+        TABLE per feature; any ANSI engine with the AGG_SQL dialect —
+        DuckDB here — can run these)."""
+        if not self.fitted_:
+            raise RuntimeError("fit() before to_sql()")
+        from .to_sql import AGG_SQL, _w
+
+        on = [self.on] if isinstance(self.on, str) else list(self.on)
+        peri_key = peri_key or on[0]
+        join_keys = " AND ".join(f"t2.{k} = t1.{k}" for k in on)
+        out: dict[str, str] = {}
+        for feat in self.features_:
+            agg, vc, cond = feat.split("__", 2)
+            x = f"t2.{vc}"
+            if cond != "all":
+                x = f"CASE WHEN {self._cond_sql(cond, peripheral)} THEN t2.{vc} END"
+            expr = AGG_SQL[agg].format(
+                v=x, t=f"epoch(t2.{self.peri_ts})", tr=f"epoch(t1.{self.pop_ts})"
+            )
+            out[feat] = (
+                f'SELECT t1.{self.population_id}, {expr} AS "{feat}"\n'
+                f"FROM {population} t1\n"
+                f"LEFT JOIN {peripheral} t2\n"
+                f"  ON {join_keys}\n"
+                f" AND {_w(f't1.{self.pop_ts}', self.horizon, self.memory, f't2.{self.peri_ts}')}\n"
+                f"GROUP BY t1.{self.population_id}"
+            )
+        return out
+
+    def _cond_sql(self, cond: str, peripheral: str = "peripheral") -> str:
+        """SQL predicate for an enumerated condition name."""
+        if cond.startswith("lag"):
+            j = int(cond[3:])
+            step = float(self.memory) / self.n_lag_splits
+            lo = float(self.horizon) + j * step
+            hi = float(self.horizon) + (j + 1) * step
+            d = f"(epoch(t1.{self.pop_ts}) - epoch(t2.{self.peri_ts}))"
+            return f"{d} >= {lo} AND {d} < {hi}"
+        for pop_col, peri_col in self.same_units_pairs:
+            if cond == f"same_{pop_col}_{peri_col}":
+                return f"t1.{pop_col} = t2.{peri_col}"
+        for ccol in self.categorical_cols:
+            prefix = f"{ccol}_top"
+            if cond.startswith(prefix):
+                r = int(cond[len(prefix):])
+                return (
+                    f"t2.{ccol} = (SELECT {ccol} FROM {peripheral} "
+                    f"GROUP BY {ccol} ORDER BY count(*) DESC, {ccol} ASC "
+                    f"LIMIT 1 OFFSET {r - 1})"
+                )
+        raise ValueError(f"unknown condition {cond!r}")

@@ -304,3 +304,60 @@ def test_fastprop_same_units_condition(spark):
     assert pdf.loc[1, "count__v__same_seg_seg"] == 3
     assert pdf.loc[2, "count__v__same_seg_seg"] == 2
     assert pdf.loc[1, "count__v__all"] == 5
+
+
+def test_fastprop_pipeline_fit_transform_to_sql(spark):
+    """The reference's Pipeline UX: fit (enumerate + sampled-R2 select),
+    transform (new data, fitted features only), to_sql (portable SQL per
+    fitted feature; DuckDB result == Spark feature)."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from getml_community_spark.plans.pipeline import FastPropPipeline
+
+    SFD = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{SFD}/orders.parquet").withColumn(
+        "pop_ts",
+        F.timestamp_seconds(
+            F.lit(1704672000) + (F.col("o_orderkey") % 480) * F.lit(3600)
+        ),
+    )
+    events = spark.read.parquet(f"{SFD}/events.parquet").withColumnRenamed(
+        "user_id", "o_custkey"
+    )
+    pipe = FastPropPipeline(
+        on="o_custkey", population_id="o_orderkey", pop_ts="pop_ts",
+        peri_ts="ts", value_cols=["value"],
+        categorical_cols=("event_type",), n_most_frequent=2, n_lag_splits=2,
+        horizon=3600.0, memory=6 * 86400.0, top_k=5,
+    )
+    out = pipe.fit_transform(orders, events, target_col="o_totalprice")
+    assert len(pipe.features_) == 5
+    assert set(out.columns) == {"o_orderkey", *pipe.features_}
+    assert len(pipe.scores_) == 5
+    assert all(s >= 0 for _, s in pipe.scores_)
+
+    # transform on a SUBSET population computes the same fitted features
+    sub = pipe.transform(orders.limit(50), events).toPandas()
+    assert len(sub) == 50
+
+    # to_sql: every fitted feature's SQL reproduces the Spark value
+    sqls = pipe.to_sql(population="orders_pop", peripheral="events_p")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events_p AS SELECT * EXCLUDE (user_id), user_id AS o_custkey "
+        f"FROM read_parquet('{SFD}/events.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW orders_pop AS SELECT *, "
+        "to_timestamp(1704672000 + (o_orderkey % 480) * 3600) AS pop_ts "
+        f"FROM read_parquet('{SFD}/orders.parquet')"
+    )
+    got = out.toPandas().set_index("o_orderkey").sort_index()
+    for feat, sql in sqls.items():
+        want = con.execute(sql).df().set_index("o_orderkey").sort_index()
+        g = got[feat].astype(float).to_numpy()
+        w = want[feat].astype(float).to_numpy()
+        ok = (np.isnan(g) & np.isnan(w)) | np.isclose(g, w, rtol=1e-9, atol=1e-9)
+        assert ok.all(), (feat, g[~ok][:3], w[~ok][:3])
