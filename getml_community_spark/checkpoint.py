@@ -169,6 +169,50 @@ class SnapshotTable:
         entries = [e for e in (cur.entries if cur else []) if not predicate(e["partition"])]
         return self._commit(entries)
 
+    # ---- maintenance --------------------------------------------------- #
+    def expire_snapshots(
+        self, keep_last: int = 10, remove_orphan_data: bool = False
+    ) -> dict:
+        """Iceberg-style maintenance: drop all but the newest
+        ``keep_last`` snapshot manifests (time travel to expired ids
+        stops working; the current snapshot is always kept), and
+        optionally delete data directories no kept snapshot references
+        (remove_orphan_files). Crash-safe: HEAD and kept manifests are
+        never touched; a crash mid-delete leaves extra files, never
+        missing ones."""
+        import shutil
+
+        snap_dir = os.path.join(self.root, "snapshots")
+        snaps = []
+        for f in os.listdir(snap_dir):
+            if f.endswith(".json"):
+                with open(os.path.join(snap_dir, f)) as fh:
+                    d = json.load(fh)
+                snaps.append((d["committed_at"], d["snapshot_id"]))
+        snaps.sort(reverse=True)
+        keep = {sid for _, sid in snaps[:keep_last]}
+        cur = self.current_snapshot_id()
+        if cur:
+            keep.add(cur)
+        expired = [sid for _, sid in snaps if sid not in keep]
+        for sid in expired:
+            os.remove(os.path.join(snap_dir, f"{sid}.json"))
+        removed_dirs = 0
+        if remove_orphan_data:
+            referenced = set()
+            for sid in keep:
+                for e in self._load(sid).entries:
+                    # entries point at leaf partition dirs inside an
+                    # append dir — keep the whole append dir
+                    rel = os.path.relpath(e["path"], os.path.join(self.root, "data"))
+                    referenced.add(rel.split(os.sep)[0])
+            data_dir = os.path.join(self.root, "data")
+            for d in os.listdir(data_dir):
+                if d not in referenced:
+                    shutil.rmtree(os.path.join(data_dir, d))
+                    removed_dirs += 1
+        return {"expired_snapshots": len(expired), "removed_data_dirs": removed_dirs}
+
     # ---- reads -------------------------------------------------------- #
     def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
         snap = self._load(snapshot_id) if snapshot_id else self.current()

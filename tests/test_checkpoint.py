@@ -197,3 +197,35 @@ def test_partition_values_roundtrip_escapes_and_nulls(spark, tmp_path):
     d2 = spark.range(2).withColumn("day", F.to_date(F.lit("2024-01-08")))
     t2.append(d2)
     assert dict(t2.read(spark).dtypes)["day"] == "date"
+
+
+def test_expire_snapshots_and_remove_orphans(spark, tmp_path):
+    """Iceberg-style maintenance: expired snapshot manifests disappear
+    (time travel to them fails, current reads keep working); orphaned
+    data dirs — referenced by NO kept snapshot — are removed, while
+    live data survives."""
+    import os
+
+    import pytest
+
+    t = SnapshotTable(str(tmp_path / "m"), partition_by=["day"])
+    import pyspark.sql.functions as F
+
+    a = spark.range(3).withColumn("day", F.lit("2024-01-01"))
+    b = spark.range(5).withColumn("day", F.lit("2024-01-02"))
+    s1 = t.append(a)
+    s2 = t.append(b)
+    # drop day-1 everywhere → append-dir of `a` becomes orphaned once s1/s2 expire
+    t.delete_partitions(lambda p: p.get("day") == "2024-01-01")
+    assert t.read(spark).count() == 5
+
+    stats = t.expire_snapshots(keep_last=1, remove_orphan_data=True)
+    assert stats["expired_snapshots"] == 2  # s1 and s2
+    assert stats["removed_data_dirs"] == 1  # a's append dir
+    assert t.read(spark).count() == 5  # current snapshot intact
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, snapshot_id=s1)
+    with pytest.raises(FileNotFoundError):
+        t._load(s2)
+    # data dir for b still present
+    assert any(os.scandir(os.path.join(t.root, "data")))
