@@ -166,3 +166,43 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_events")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session's AQE config handles join skew at runtime: a hot key
+    holding 2/3 of the rows gets its shuffle partition SPLIT
+    (SortMergeJoin(skew=true) + AQEShuffleRead skewed in the final
+    adaptive plan) — the engine rides Spark's skew-join instead of
+    hand-salting every join."""
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # thresholds scaled down so toy data exhibits production skew
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(300_000).select(
+            F.when(F.col("id") < 200_000, 0)
+            .otherwise((F.col("id") % 100) + 1)
+            .alias("k"),
+            F.rand(1).alias("x"),
+        )
+        right = spark.range(101).select(F.col("id").alias("k"), F.rand(2).alias("y"))
+        j = left.join(right, "k").select(F.sum(F.col("x") + F.col("y")))
+        j.collect()  # same queryExecution → final adaptive plan attaches
+        plan = _plan(j)
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
