@@ -666,11 +666,15 @@ def _battery_full_oracle_sql() -> str:
     from getml_community_spark.plans.to_sql import AGG_SQL
 
     metrics = [
+        # NOTE: order must match battery()'s emission order (the driver's
+        # correctness gate is column-ORDER sensitive): ewma_* comes before
+        # the time_since_* family in operators/aggregates.py:battery.
         "q05", "q95", "var_pop", "count_distinct_over_count",
         "count_minus_count_distinct", "avg_time_between",
+        "ewma_1d", "ewma_7d",
         "time_since_last_maximum", "time_since_first_maximum",
         "time_since_first_minimum", "time_since_last_minimum",
-        "ewma_1d", "ewma_7d", "skew", "kurtosis",
+        "skew", "kurtosis",
     ]
     v, t = "value", "epoch(ts)"
     tr = "(floor(epoch(ts) / 3600) * 3600 + 3600)"
@@ -1000,6 +1004,50 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_bmp_decode(spark, sf):
+    """REAL image decode end-to-end, no external codecs: each document
+    deterministically renders an 8x8 RGB BMP — pixel (i, k) =
+    (n_chars + 3*i + 37*k) % 256 — through the pure-numpy encode_bmp,
+    and extract_image_features(decoder='bmp') decodes it BACK through a
+    true BMP parse (file/info headers, 4-byte row padding, bottom-up
+    rows, BGR order). The oracle recomputes the channel means from the
+    generating formula; means are i/64 rationals (2^6 denominator →
+    exact 6-decimal representation, no rounding ties)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from getml_community_spark.operators.multimodal import (
+        encode_bmp,
+        extract_image_features,
+    )
+
+    @pandas_udf("binary")
+    def _render(seed):  # pd.Series[int] -> pd.Series[bytes]
+        i = np.arange(64, dtype=np.int64)[:, None]
+        k = np.arange(3, dtype=np.int64)[None, :]
+        out = []
+        for s in seed:
+            px = ((int(s) + 3 * i + 37 * k) % 256).astype(np.uint8)
+            out.append(encode_bmp(px.reshape(8, 8, 3)))
+        return pd.Series(out)
+
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("n_chars").cast("long").alias("__seed"),
+    )
+    payloads = docs.select("media_id", _render("__seed").alias("payload"))
+    feats = extract_image_features(payloads, decoder="bmp")
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.element_at("features", 1).cast("int").alias("width"),
+        F.element_at("features", 2).cast("int").alias("height"),
+        _r(F.element_at("features", 3)).alias("mean_r"),
+        _r(F.element_at("features", 4)).alias("mean_g"),
+        _r(F.element_at("features", 5)).alias("mean_b"),
+    )
+
+
 def q_minhash_dedup(spark, sf):
     """MinHash+LSH near-dedup with exact-Jaccard verification
     (LSH-then-verify): candidates come from banded LSH, the keep/drop
@@ -1094,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_trim": q_category_trim,
         "exact_dedup": q_exact_dedup,
         "multimodal_features": q_multimodal_features,
+        "bmp_decode": q_bmp_decode,
         "text_stats": q_text_stats,
         "vocabulary": q_vocabulary,
         "brute_topk": q_brute_topk,
@@ -1363,14 +1412,17 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.25), 6) AS q25,
                    round(quantile_cont(value, 0.75), 6) AS q75,
                    round(quantile_cont(value, 0.90), 6) AS q90,
-                   round(stddev_pop(value), 6) AS stddev_pop,
                    round(var_pop(value), 6) AS var_pop,
+                   round(stddev_pop(value), 6) AS stddev_pop,
                    cast(count(DISTINCT value) AS double) AS count_distinct,
                    round(arg_min(value, ts), 6) AS first,
                    round(arg_max(value, ts), 6) AS last,
                    round(CASE WHEN count(ts) <= 1 THEN 0.0
                          ELSE (max(epoch(ts)) - min(epoch(ts))) / (count(ts) - 1)
                          END, 6) AS avg_time_between,
+                   round(sum(exp(ln(0.5) * (epoch(date_trunc('hour', ts)) + 3600 - epoch(ts)) / 3600.0) * value)
+                         / sum(exp(ln(0.5) * (epoch(date_trunc('hour', ts)) + 3600 - epoch(ts)) / 3600.0)), 6)
+                         AS ewma_1h,
                    round(CASE WHEN var_pop(epoch(date_trunc('hour', ts)) + 3600 - epoch(ts)) = 0
                          THEN avg(value)
                          ELSE avg(value)
@@ -1378,9 +1430,6 @@ def oracle_sql() -> dict[str, str]:
                               * (covar_pop(epoch(date_trunc('hour', ts)) + 3600 - epoch(ts), value)
                                  / var_pop(epoch(date_trunc('hour', ts)) + 3600 - epoch(ts)))
                          END, 6) AS trend,
-                   round(sum(exp(ln(0.5) * (epoch(date_trunc('hour', ts)) + 3600 - epoch(ts)) / 3600.0) * value)
-                         / sum(exp(ln(0.5) * (epoch(date_trunc('hour', ts)) + 3600 - epoch(ts)) / 3600.0)), 6)
-                         AS ewma_1h,
                    round(CASE WHEN avg(value) = 0 THEN NULL
                          ELSE var_pop(value) / avg(value) END, 6) AS variation_coefficient
             FROM events GROUP BY 1, 2
@@ -1627,6 +1676,20 @@ def oracle_sql() -> dict[str, str]:
                          lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
                   FROM documents)
             GROUP BY norm
+        """,
+        "bmp_decode": """
+            -- channel means of the deterministically-rendered 8x8 BMP,
+            -- recomputed from the generating formula (the Spark side
+            -- encodes + REALLY decodes the BMP byte stream)
+            SELECT doc_id,
+                   8 AS width, 8 AS height,
+                   round(list_aggregate(list_transform(range(0, 64),
+                     i -> CAST((n_chars + 3*i) % 256 AS DOUBLE)), 'avg'), 6) AS mean_r,
+                   round(list_aggregate(list_transform(range(0, 64),
+                     i -> CAST((n_chars + 3*i + 37) % 256 AS DOUBLE)), 'avg'), 6) AS mean_g,
+                   round(list_aggregate(list_transform(range(0, 64),
+                     i -> CAST((n_chars + 3*i + 74) % 256 AS DOUBLE)), 'avg'), 6) AS mean_b
+            FROM documents
         """,
         "multimodal_features": """
             -- the fake decoder's features: numpy array_split(bytes, 16)

@@ -47,11 +47,17 @@ def exact_dedup(
     """Exact dedup: one winner per content fingerprint (lowest id —
     pinned, deterministic).
 
-    Default path groups on a 128-bit fingerprint (two independent
+    Default path groups on a 128-bit fingerprint (two INDEPENDENT
     xxhash64 values, 16 bytes) — the shuffle carries the fingerprint,
     NOT the document text (round-1 verdict: grouping on the full
-    normalized text shuffles the entire corpus). Collision risk at
-    128 bits is ~2^-128 per pair — below hardware error rates.
+    normalized text shuffles the entire corpus). Independence detail:
+    Spark's multi-arg xxhash64 CHAINS the running hash
+    (``xxhash64(c, x) == XXH64(x, seed=XXH64(c, 42))``), so putting the
+    salt SECOND would make __h2 a pure function of __h1 (any __h1
+    collision is automatically a __h2 collision → effective 64 bits).
+    The salt goes FIRST — ``xxhash64(lit, c) == XXH64(c,
+    seed=XXH64(lit, 42))`` — i.e. the same hash under a different
+    effective seed, giving a true ~2^-128-per-pair joint collision rate.
 
     verify=True restores the exact-grouping path (full normalized text
     as a tiebreak key) for callers that cannot accept that risk."""
@@ -68,7 +74,7 @@ def exact_dedup(
     return (
         df.groupBy(
             F.xxhash64(c).alias("__h1"),
-            F.xxhash64(c, F.lit(0x27D4EB4F)).alias("__h2"),
+            F.xxhash64(F.lit(0x27D4EB4F), c).alias("__h2"),
         )
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .drop("__h1", "__h2")
@@ -176,7 +182,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 32,
     shingle_n: int = 5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH.
 
@@ -188,8 +194,9 @@ def minhash_lsh_pairs(
     ngram_jaccard is the caller's (cheap, candidate-only) second step.
 
     ``max_bucket_size`` guards the b² blow-up of boilerplate buckets at
-    corpus scale (recommended ~1000 in production; None = unbounded for
-    exactness-gated runs on curated data).
+    corpus scale — ON by default (1000); pass an explicit ``None`` to
+    opt out for exactness-gated runs on curated data. Use
+    :func:`lsh_bucket_occupancy` to log what a cap would drop.
     """
     rows_per_band = num_hashes // bands
     # The shingle pipeline is interpreted (higher-order array functions
@@ -220,11 +227,14 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
-    # persist: the self-join's two branches do NOT share the signature
-    # subtree (no exchange reuse across aliases), so without this the
-    # pandas-UDF signature pass runs twice. Signatures are 128 longs/doc
-    # — the standard LSH practice of materializing the signature matrix.
-    banded = banded.persist()
+    # Materialize the signature matrix ONCE: the self-join's two branches
+    # do NOT share the signature subtree (no exchange reuse across
+    # aliases), so without this the pandas-UDF signature pass runs twice.
+    # localCheckpoint (not persist): persist() registers in the plan-keyed
+    # CacheManager and leaks across repeated corpus-scale calls unless
+    # every caller remembers to unpersist; checkpointed RDD blocks are
+    # ContextCleaner-managed — freed when the DataFrame is GC'd.
+    banded = banded.localCheckpoint(eager=True)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -262,7 +272,7 @@ def minhash_lsh_pairs_verified(
     num_hashes: int = 128,
     bands: int = 32,
     shingle_n: int = 5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """LSH candidate pairs re-scored with their EXACT shingle Jaccard:
     (id_a, id_b, jaccard). The exact score is computed only on the
@@ -298,7 +308,7 @@ def minhash_lsh_dedup(
     bands: int = 32,
     shingle_n: int = 5,
     verify: bool = True,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Keep-one near-dedup: drop the higher id of every candidate pair
     whose Jaccard ≥ threshold (greedy min-id winner — one
@@ -366,7 +376,7 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 3,
     token_hash: str = "xxhash64",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup candidates by SimHash: block on 4 x 16-bit fingerprint
     chunks (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks equal —
@@ -396,7 +406,9 @@ def simhash_pairs(
         ).alias("cc"),
     ).select("id", "fp", "cc.chunk", "cc.key")
     chunks = _cap_buckets(chunks, ["chunk", "key"], max_bucket_size)
-    chunks = chunks.persist()  # 64-bit fp/doc; avoids double fingerprint pass
+    # eager localCheckpoint: one fingerprint pass shared across both join
+    # branches, blocks GC-cleaned (persist() would leak in CacheManager)
+    chunks = chunks.localCheckpoint(eager=True)
     l, r = chunks.alias("l"), chunks.alias("r")
     return (
         l.join(
@@ -434,7 +446,7 @@ def embedding_near_dups(
     num_planes: int = 12,
     num_tables: int = 8,
     seed: int = 42,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     cosine >= threshold and id_a < id_b.
@@ -446,9 +458,10 @@ def embedding_near_dups(
     the pair count is bounded by bucket occupancy, not n^2; exact
     cosine filters candidates. Recall < 1 by construction; raise
     num_tables for higher recall. The bucketed frame (vector ×
-    num_tables) is persisted to avoid a double signature pass across
-    the self-join branches — at very large corpora, pre-materialize the
-    signatures to a table instead and join against that.
+    num_tables) is materialized once (eager localCheckpoint) to avoid a
+    double signature pass across the self-join branches — at very large
+    corpora, pre-materialize the signatures to a table instead and join
+    against that.
     """
     from .similarity import _random_planes, cosine, srp_signature
 
@@ -484,7 +497,8 @@ def embedding_near_dups(
         ).alias("tb"),
     ).select("id", "v", "tb.table", "tb.bucket")
     bucketed = _cap_buckets(bucketed, ["table", "bucket"], max_bucket_size)
-    bucketed = bucketed.persist()  # avoids double SRP-signature pass
+    # eager localCheckpoint: one SRP-signature pass, GC-cleaned blocks
+    bucketed = bucketed.localCheckpoint(eager=True)
     l, r = bucketed.alias("l"), bucketed.alias("r")
     cand = (
         l.join(

@@ -67,9 +67,18 @@ def fastprop_features(
     horizon: float = 0.0,
     memory: float | None = None,
     strategy: str = "auto",
+    fitted_categories: dict[str, list] | None = None,
 ) -> DataFrame:
     """Auto-enumerate and compute the conditions × aggregations feature
     grid per population row.
+
+    ``fitted_categories`` pins the per-column top-category values learned
+    at FIT time ({col: [v1, v2, ...]}): when given, the ``<cat>_top<r>``
+    conditions use these values instead of recomputing frequencies on the
+    CURRENT peripheral — the reference stores the fitted
+    ``categorical_value_`` in each feature (fastprop/SQLMaker.cpp:34-36)
+    precisely so a feature means the same category at transform time even
+    when category frequencies shift (no train/serve skew).
 
     Conditions (the reference's enumeration, FastProp.cpp:534-870):
       - ``all``: the plain window (no condition);
@@ -111,9 +120,12 @@ def fastprop_features(
 
     conditions: list[tuple[str, Column | None]] = [("all", None)]
     for ccol in categorical_cols:
-        for r, val in enumerate(
-            top_categories(peripheral, ccol, n_most_frequent), start=1
-        ):
+        vals = (
+            fitted_categories[ccol]
+            if fitted_categories is not None
+            else top_categories(peripheral, ccol, n_most_frequent)
+        )
+        for r, val in enumerate(vals, start=1):
             conditions.append((f"{ccol}_top{r}", F.col(ccol) == F.lit(val)))
     for pop_col, peri_col in same_units_pairs:
         conditions.append(

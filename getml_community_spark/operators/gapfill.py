@@ -36,6 +36,10 @@ def _spine(agg: DataFrame, tier_seconds: int, per_source: bool) -> DataFrame:
     span's spine rows across partitions instead of one task."""
     chunk = 86400 if tier_seconds <= 86400 else tier_seconds
     per_chunk = chunk // tier_seconds
+    # the real chunk stride: per_chunk*tier_seconds, NOT `chunk` — they
+    # differ when tier_seconds doesn't divide 86400 (e.g. 50000 s), and
+    # striding 86400 would truncate the spine's tail buckets
+    stride = per_chunk * tier_seconds
     if per_source:
         bounds = agg.groupBy("source").agg(
             F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
@@ -54,7 +58,7 @@ def _spine(agg: DataFrame, tier_seconds: int, per_source: bool) -> DataFrame:
         F.explode(
             F.sequence(
                 F.lit(0).cast("long"),
-                F.floor((hi_e - lo_e) / F.lit(chunk)).cast("long"),
+                F.floor((hi_e - lo_e) / F.lit(stride)).cast("long"),
             )
         ).alias("__c"),
     )

@@ -2,16 +2,25 @@
 columns with typed metadata.
 
 The Spark-side machinery (schemas, batch shapes, partition-aware UDF
-plumbing) is real and tested; the actual media DECODING is stubbed —
-this container has no image/audio libraries — behind
-``decoder="fake"`` (deterministic bytes-derived features, used by
-tests) or ``decoder="pil"``/``"ffmpeg"`` which raise
-``NotImplementedError`` with install guidance. Swapping the stub for a
-real decoder changes ONE numpy function, not the Spark plan.
+plumbing) is real and tested. Decoding:
+
+- ``decoder="bmp"`` — a REAL pure-numpy 24-bit BMP decoder
+  (:func:`decode_bmp`; header parse, row padding, bottom-up/BGR
+  handling) so one image format is end-to-end real with no external
+  codec. :func:`encode_bmp` is its inverse (used to generate payloads
+  deterministically in tests and the driver-gated contract query).
+- :func:`extract_audio_features` with ``decoder="wav"`` — a real
+  pure-numpy PCM16 WAV decoder (:func:`decode_wav`; RIFF chunk walk).
+- ``decoder="fake"`` — deterministic bytes-derived features for
+  formats whose codecs aren't in this container (png/jpeg/mp4).
+- ``decoder="pil"``/``"ffmpeg"`` raise ``NotImplementedError`` with
+  install guidance. Swapping a stub for a real decoder changes ONE
+  numpy function, not the Spark plan.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -22,7 +31,12 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_metadata",
     "extract_image_features",
+    "extract_audio_features",
     "sample_video_frames",
+    "encode_bmp",
+    "decode_bmp",
+    "encode_wav",
+    "decode_wav",
 ]
 
 # canonical multimodal row: payload + typed metadata
@@ -47,6 +61,105 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         .when(head.startswith("00000018") | head.startswith("00000020"), "video/mp4")
         .otherwise("application/octet-stream"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pure-numpy codecs (public format specs; no external libraries)
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, rows bottom-up, BGR, 4-byte
+    row padding — the standard Windows BMP v3 layout)."""
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (H, W, 3) uint8 RGB")
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP into an (H, W, 3) uint8 RGB
+    array — header parse, row-padding stride, bottom-up/top-down and
+    BGR→RGB handling, all numpy slicing (no per-pixel Python)."""
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    px = buf[data_off : data_off + row_size * h].reshape(h, row_size)
+    img = px[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if bottom_up else img
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode mono int16 samples as a PCM16 WAV (RIFF/WAVE: fmt + data
+    chunks)."""
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM16 mono WAV → (sample_rate, int16 array). Walks RIFF
+    chunks (fmt may not be first; chunks are word-aligned)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)[:3]
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only PCM16 mono WAV supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, data
+
+
+def _bmp_decode_features(payloads: pd.Series) -> np.ndarray:
+    """REAL decode path: parse each BMP, emit
+    [width, height, mean_r, mean_g, mean_b, std_r, std_g, std_b,
+    min_luma, max_luma, 0...] (FEATURE_DIM floats). Per-item decode is
+    inherent (each payload is one image); the pixel math is numpy."""
+    out = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float64)
+    for i, b in enumerate(payloads):
+        img = decode_bmp(bytes(b)).astype(np.float64)
+        luma = img.mean(axis=2)
+        out[i, :10] = [
+            img.shape[1],
+            img.shape[0],
+            *img.mean(axis=(0, 1)),
+            *img.std(axis=(0, 1)),
+            luma.min(),
+            luma.max(),
+        ]
+    return out
 
 
 def _fake_decode_features(payloads: pd.Series) -> np.ndarray:
@@ -77,17 +190,18 @@ def extract_image_features(
     preserved; no shuffle is introduced."""
     if decoder == "pil":
         raise NotImplementedError(
-            "real image decode needs pillow/torchvision (not in this "
-            "container); use decoder='fake' for plumbing tests"
+            "real png/jpeg decode needs pillow/torchvision (not in this "
+            "container); decoder='bmp' is a REAL pure-numpy decode path"
         )
     if decoder == "ffmpeg":
         raise NotImplementedError("ffmpeg decode not available in this container")
-    if decoder != "fake":
+    if decoder not in ("fake", "bmp"):
         raise ValueError(f"unknown decoder {decoder!r}")
+    decode = _bmp_decode_features if decoder == "bmp" else _fake_decode_features
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = _fake_decode_features(pdf[payload_col])
+            feats = decode(pdf[payload_col])
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
@@ -97,6 +211,55 @@ def extract_image_features(
 
     return df.select(id_col, payload_col).mapInPandas(
         kernel, f"{id_col} string, features array<double>"
+    )
+
+
+def extract_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: str = "wav",
+) -> DataFrame:
+    """Audio analogue of :func:`extract_image_features`: Arrow-batched
+    ``mapInPandas``, one output row per payload with
+    (sample_rate, n_samples, duration_s, mean, rms, peak). decoder="wav"
+    is a REAL pure-numpy PCM16 decode (:func:`decode_wav`)."""
+    if decoder != "wav":
+        raise NotImplementedError(
+            "only the pure-numpy PCM16 'wav' decoder ships in this container"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            cols = np.zeros((n, 6), dtype=np.float64)
+            for i, b in enumerate(pdf[payload_col]):
+                rate, s = decode_wav(bytes(b))
+                x = s.astype(np.float64)
+                cols[i] = [
+                    rate,
+                    len(s),
+                    len(s) / rate if rate else 0.0,
+                    x.mean() if len(x) else 0.0,
+                    float(np.sqrt((x * x).mean())) if len(x) else 0.0,
+                    float(np.abs(x).max()) if len(x) else 0.0,
+                ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "sample_rate": cols[:, 0].astype(np.int64),
+                    "n_samples": cols[:, 1].astype(np.int64),
+                    "duration_s": cols[:, 2],
+                    "mean": cols[:, 3],
+                    "rms": cols[:, 4],
+                    "peak": cols[:, 5],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel,
+        f"{id_col} string, sample_rate long, n_samples long, "
+        "duration_s double, mean double, rms double, peak double",
     )
 
 

@@ -60,9 +60,12 @@ def brute_force_topk(
     )
     # Two-stage top-k (round-1 verdict: a single collect_list per query
     # buffers the WHOLE corpus in one agg state). Stage 1 reduces each
-    # input partition to its local top-k per query (state <= k per
-    # (query, partition), and only k rows per partition cross the
-    # shuffle); stage 2 merges the <= k x n_partitions finalists.
+    # input partition to its local top-k per query: collect_list still
+    # buffers that partition's scored rows for the query before
+    # sort_array/slice — agg state is bounded by PARTITION size (an input
+    # split, not the corpus), and only k rows per (query, partition)
+    # cross the shuffle. Stage 2 merges the <= k x n_partitions
+    # finalists. Size input splits accordingly for huge corpora.
     # Ties broken by vec_id asc (negated id inside the sort struct).
     def _topk_struct():
         return F.struct(

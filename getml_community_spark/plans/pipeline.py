@@ -51,6 +51,12 @@ class FastPropPipeline:
     # fitted state
     features_: list[str] = field(default_factory=list, repr=False)
     scores_: list[tuple[str, float]] = field(default_factory=list, repr=False)
+    # fit-time learned top-category VALUES per categorical column — the
+    # reference stores the fitted categorical_value_ inside each feature
+    # (fastprop/SQLMaker.cpp:34-36, ConditionParser.cpp:59-62) so
+    # `<cat>_top<r>` means the SAME category at transform/SQL time even
+    # when category frequencies shift (no train/serve skew).
+    categories_: dict[str, list] = field(default_factory=dict, repr=False)
     fitted_: bool = False
 
     def _compute(self, population: DataFrame, peripheral: DataFrame) -> DataFrame:
@@ -69,6 +75,7 @@ class FastPropPipeline:
             same_units_pairs=self.same_units_pairs,
             horizon=self.horizon,
             memory=self.memory,
+            fitted_categories=self.categories_ or None,
         )
 
     def fit(
@@ -77,6 +84,13 @@ class FastPropPipeline:
         peripheral: DataFrame,
         target_col: str | None = None,
     ) -> "FastPropPipeline":
+        from ..operators.fastprop import top_categories
+
+        self.fitted_ = False
+        self.categories_ = {
+            ccol: top_categories(peripheral, ccol, self.n_most_frequent)
+            for ccol in self.categorical_cols
+        }
         out = self._compute(population, peripheral)
         enumerated = [c for c in out.columns if "__" in c]
         if target_col is not None and self.top_k is not None:
@@ -137,8 +151,11 @@ class FastPropPipeline:
             expr = AGG_SQL[agg].format(
                 v=x, t=f"epoch(t2.{self.peri_ts})", tr=f"epoch(t1.{self.pop_ts})"
             )
+            # bare alias (no quotes): feature names are valid identifiers
+            # in both DuckDB and Spark SQL — double-quoted aliases would
+            # parse as STRING literals on Spark with ANSI off
             out[feat] = (
-                f'SELECT t1.{self.population_id}, {expr} AS "{feat}"\n'
+                f"SELECT t1.{self.population_id}, {expr} AS {feat}\n"
                 f"FROM {population} t1\n"
                 f"LEFT JOIN {peripheral} t2\n"
                 f"  ON {join_keys}\n"
@@ -163,9 +180,25 @@ class FastPropPipeline:
             prefix = f"{ccol}_top"
             if cond.startswith(prefix):
                 r = int(cond[len(prefix):])
-                return (
-                    f"t2.{ccol} = (SELECT {ccol} FROM {peripheral} "
-                    f"GROUP BY {ccol} ORDER BY count(*) DESC, {ccol} ASC "
-                    f"LIMIT 1 OFFSET {r - 1})"
-                )
+                # emit the FITTED value as a literal (reference embeds
+                # categorical_value_ in the SQL, SQLMaker.cpp:34-36) —
+                # a subquery over the serving-time peripheral would
+                # silently re-learn the category (train/serve skew)
+                vals = self.categories_.get(ccol, [])
+                if r - 1 >= len(vals):
+                    raise ValueError(
+                        f"condition {cond!r} has no fitted category value"
+                    )
+                return f"t2.{ccol} = {_sql_literal(vals[r - 1])}"
         raise ValueError(f"unknown condition {cond!r}")
+
+
+def _sql_literal(v) -> str:
+    """Render a fitted category value as an ANSI SQL literal."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"

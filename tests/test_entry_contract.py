@@ -57,11 +57,16 @@ ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLE_CHECKED))
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
 def test_query_matches_oracle(spark, ddb, name):
     q = entrymod.queries()[name]
-    got = _canon(q(spark, SF).toPandas())
-    want = _canon(ddb.execute(entrymod.oracle_sql()[name]).df())
-    assert list(got.columns) == list(want.columns), (
-        name, list(got.columns), list(want.columns)
-    )
+    got_raw = q(spark, SF).toPandas()
+    want_raw = ddb.execute(entrymod.oracle_sql()[name]).df()
+    # the driver's gate is column-ORDER sensitive — compare the UNSORTED
+    # lists first, before _canon sorts them away (round-2 lesson:
+    # battery_full_1h shipped red on ordering alone)
+    assert [c.lower() for c in got_raw.columns] == [
+        c.lower() for c in want_raw.columns
+    ], (name, list(got_raw.columns), list(want_raw.columns))
+    got = _canon(got_raw)
+    want = _canon(want_raw)
     assert len(got) == len(want), (name, len(got), len(want))
     for c in got.columns:
         g, w = got[c], want[c]
