@@ -41,6 +41,7 @@ HEADLINE = [
     "text_stats",
     "brute_topk",
     "minhash_dedup",
+    "simhash_pairs",
     "lag_rolling_1h",
     "sliding_window",
 ]

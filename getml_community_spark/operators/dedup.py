@@ -338,15 +338,25 @@ def minhash_lsh_dedup(
 def simhash(text: Column, num_bits: int = 64, token_hash: str = "xxhash64") -> Column:
     """SimHash fingerprint: sign-sum of per-token hash bits.
 
-    Vectorized trick: for each bit position b, sum over tokens of
-    (+1 if bit set else −1) via aggregate() over the token array; bit b
-    of the fingerprint = (sum > 0). All inside one JVM expression.
+    ONE JVM hash pass per token (xxhash64 or md5), then a vectorized
+    pandas UDF takes the per-bit majority vote as an
+    (n_tokens × num_bits) numpy matrix per row and packs the
+    fingerprint. The UDF is both the vectorization AND an optimization
+    barrier: the previous all-JVM form built 64 interpreted
+    ``aggregate()`` expressions that Catalyst projection-collapse
+    inlined, re-evaluating the whole token-hash pipeline 64× per row —
+    measured 50 s for 5,000 docs at sf0.1 vs ~1 s vectorized (round-2
+    verdict #7; same pattern as :func:`minhash_signature`).
 
     token_hash: "xxhash64" (fast JVM path, default) or "md5_60" — the
     first 15 hex chars of md5 as a 60-bit integer, reproducible in
     DuckDB SQL so the whole simhash pipeline can be oracle-checked
     (xxhash64 has no SQL equivalent). With md5_60 bits 60..63 are
     always 0 on both sides."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     words = F.filter(F.split(F.lower(text), _SHINGLE_SPLIT["ascii"]), lambda w: w != "")
     if token_hash == "xxhash64":
         hashes = F.transform(words, lambda w: F.xxhash64(w))
@@ -356,18 +366,23 @@ def simhash(text: Column, num_bits: int = 64, token_hash: str = "xxhash64") -> C
         )
     else:
         raise ValueError(token_hash)
-    def bit(b: int) -> Column:
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << b if b < 63 else -(1 << 63))) != 0, 1).otherwise(-1),
-        )
-        return F.when(votes > 0, F.lit(1 << b if b < 63 else -(1 << 63))).otherwise(0)
-    out = F.lit(0).cast("long")
-    for b in range(num_bits):
-        out = out.bitwiseOR(bit(b).cast("long"))
-    return out
+
+    shifts = np.arange(num_bits, dtype=np.uint64)
+    weights = np.uint64(1) << shifts
+
+    @pandas_udf("long")
+    def _fp(hs):  # pd.Series[array<long>] -> pd.Series[long]
+        out = np.zeros(len(hs), dtype=np.uint64)
+        for i, arr in enumerate(hs):
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if len(h) == 0:
+                continue
+            # bit b of fp = majority vote: 2*(#tokens with bit set) > n
+            set_cnt = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+            out[i] = ((2 * set_cnt > len(h)) * weights).sum()
+        return pd.Series(out.view(np.int64))
+
+    return _fp(hashes)
 
 
 def simhash_pairs(
