@@ -104,9 +104,17 @@ def battery(
         for q in QUANTILES:
             out[f"q{int(q * 100):02d}"] = F.percentile_approx(v, F.lit(q), acc)
     else:
-        out["median"] = F.median(v)
-        for q in QUANTILES:
-            out[f"q{int(q * 100):02d}"] = F.percentile(v, F.lit(q))
+        # ONE percentile(v, array(...)) for the whole quantile bank:
+        # nine scalar percentile(v, q) calls are nine distinct aggregate
+        # functions, each buffering the group's full value histogram;
+        # the array form is one aggregate (Catalyst dedups the identical
+        # expression across the nine output projections) — one buffer,
+        # one sort, nine array reads.
+        probs = F.array(F.lit(0.5), *[F.lit(q) for q in QUANTILES])
+        qarr = F.percentile(v, probs)
+        out["median"] = qarr[0]
+        for i, q in enumerate(QUANTILES, start=1):
+            out[f"q{int(q * 100):02d}"] = qarr[i]
     out["var_pop"] = F.var_pop(v)
     out["stddev_pop"] = F.stddev_pop(v)
     # all-identical guard (var==0 → 0.0), Aggregations.hpp:473-498/:302-327

@@ -164,6 +164,31 @@ class FastPropPipeline:
             )
         return out
 
+    # ---- persistence (reference: pipeline save/load by name,
+    # pipeline/helpers2.py:95; SQL script save, sql_code.py:129) ------ #
+    def save(self, path: str) -> None:
+        """Serialize the spec AND the fitted state (features, scores,
+        pinned categories) to one JSON file — a loaded pipeline
+        transforms/transpiles identically without refitting."""
+        import dataclasses
+        import json
+
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=1, default=str)
+
+    @classmethod
+    def load(cls, path: str) -> "FastPropPipeline":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        # JSON round-trips tuples as lists; restore the tuple-typed specs
+        d["aggs"] = tuple(d["aggs"])
+        d["categorical_cols"] = tuple(d["categorical_cols"])
+        d["same_units_pairs"] = tuple(tuple(p) for p in d["same_units_pairs"])
+        d["scores_"] = [tuple(s) for s in d["scores_"]]
+        return cls(**d)
+
     def _cond_sql(self, cond: str, peripheral: str = "peripheral") -> str:
         """SQL predicate for an enumerated condition name."""
         if cond.startswith("lag"):

@@ -172,3 +172,22 @@ def test_gapfill_non_dividing_tier_covers_full_span(spark):
     assert got == [lo + i * tier for i in range(n_buckets - 2)]
     # pre-existing agg rows all survived the left join
     assert int(dense["cnt"].sum()) == len(rows)
+
+
+def test_pipeline_save_load_roundtrip(spark, tmp_path):
+    """A saved+loaded pipeline transforms and transpiles identically —
+    INCLUDING the pinned fit-time categories (reference: pipelines are
+    persistent engine objects, pipeline/helpers2.py:95 load)."""
+    orders, events = _pop_peri(spark)
+    pipe = _pipe().fit(orders, events)
+    p = str(tmp_path / "pipe.json")
+    pipe.save(p)
+    loaded = FastPropPipeline.load(p)
+    assert loaded.fitted_
+    assert loaded.features_ == pipe.features_
+    assert loaded.categories_ == pipe.categories_
+    assert loaded.to_sql() == pipe.to_sql()
+
+    a = pipe.transform(orders.limit(20), events).toPandas().set_index("o_orderkey").sort_index()
+    b = loaded.transform(orders.limit(20), events).toPandas().set_index("o_orderkey").sort_index()
+    assert (a.fillna(-1) == b.fillna(-1)).all().all()
