@@ -1048,6 +1048,113 @@ def q_bmp_decode(spark, sf):
     )
 
 
+def q_wav_features(spark, sf):
+    """REAL audio decode end-to-end, no external codecs: each document
+    deterministically renders 64 PCM16 samples — s_k =
+    ((n_chars*31 + 17*k) % 65536) - 32768 — through the pure-numpy
+    encode_wav, and extract_audio_features(decoder='wav') decodes them
+    back through a true RIFF/WAVE chunk walk. The oracle recomputes
+    mean (x/64 rationals — exact at 6 decimals) and peak from the
+    generating formula; rms uses the IEEE-pure floor(x*1e6+0.5)/1e6
+    rounding on both sides."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from getml_community_spark.operators.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+
+    @pandas_udf("binary")
+    def _render(seed):  # pd.Series[int] -> pd.Series[bytes]
+        k = np.arange(64, dtype=np.int64)
+        out = []
+        for s in seed:
+            samples = ((int(s) * 31 + 17 * k) % 65536 - 32768).astype(np.int16)
+            out.append(encode_wav(samples, sample_rate=16000))
+        return pd.Series(out)
+
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("n_chars").cast("long").alias("__seed"),
+    )
+    payloads = docs.select("media_id", _render("__seed").alias("payload"))
+    feats = extract_audio_features(payloads, decoder="wav")
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_samples").cast("int").alias("n_samples"),
+        _r(F.col("mean")).alias("mean_sample"),
+        (F.floor(F.col("rms") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("rms"),
+        F.col("peak").cast("long").alias("peak"),
+    )
+
+
+def q_pack_stats(spark, sf):
+    """Sequence packing (concat-and-chunk into 128-token training
+    windows) over deterministically synthesized tokens (token k = length
+    of word k — reproducible in SQL, where the piece token-sum falls out
+    of prefix string lengths). Chunk stats derive from span arithmetic
+    in the oracle and from the REAL packed piece slices on the Spark
+    side, so a slice/ordering bug cannot cancel out."""
+    from getml_community_spark.operators.packing import pack_stats
+    from getml_community_spark.operators.textstats import word_tokens
+
+    docs = _load(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.transform(
+            word_tokens(F.col("text")), lambda w: F.length(w).cast("int")
+        ).alias("tokens"),
+    )
+    return pack_stats(toks, 128).select(
+        "source",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_docs",
+        "n_tok",
+        "sum_tok",
+    )
+
+
+def q_gopher_quality(spark, sf):
+    """Gopher/MassiveText document-filter rules (Rae et al. 2021 §A1.1)
+    as pure JVM expressions; min_words/min_stop_hits tuned so the
+    synthetic corpus actually splits into keep/drop (the paper's
+    stopword floor of 2 rejects ~everything in random-word text)."""
+    from getml_community_spark.operators.textstats import gopher_quality
+
+    docs = _load(spark, sf, "documents")
+    g = gopher_quality(docs, "text", "doc_id", min_words=20, min_stop_hits=1)
+    return g.select(
+        "doc_id",
+        "n_words",
+        _r(F.col("mean_word_len")).alias("mean_word_len"),
+        _r(F.col("symbol_ratio")).alias("symbol_ratio"),
+        _r(F.col("alpha_frac")).alias("alpha_frac"),
+        "stop_hits",
+        "n_lines",
+        _r(F.col("bullet_frac")).alias("bullet_frac"),
+        _r(F.col("ellipsis_frac")).alias("ellipsis_frac"),
+        _r(F.col("dup_line_frac")).alias("dup_line_frac"),
+        "keep",
+    )
+
+
+def q_decontamination(spark, sf):
+    """Benchmark n-gram decontamination: docs with doc_id % 19 == 0 act
+    as the held-out benchmark; every other doc is flagged if it shares
+    any distinct word 5-gram. The benchmark shingle set is broadcast —
+    corpus rows never shuffle for the membership test."""
+    from getml_community_spark.operators.textstats import ngram_contamination
+
+    docs = _load(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corpus = docs.where(F.col("doc_id") % 19 != 0)
+    return ngram_contamination(corpus, bench, "text", "doc_id", n=5)
+
+
 def q_minhash_dedup(spark, sf):
     """MinHash+LSH near-dedup with exact-Jaccard verification
     (LSH-then-verify): candidates come from banded LSH, the keep/drop
@@ -1143,6 +1250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "multimodal_features": q_multimodal_features,
         "bmp_decode": q_bmp_decode,
+        "wav_features": q_wav_features,
+        "pack_stats": q_pack_stats,
+        "gopher_quality": q_gopher_quality,
+        "decontamination": q_decontamination,
         "text_stats": q_text_stats,
         "vocabulary": q_vocabulary,
         "brute_topk": q_brute_topk,
@@ -1690,6 +1801,141 @@ def oracle_sql() -> dict[str, str]:
                    round(list_aggregate(list_transform(range(0, 64),
                      i -> CAST((n_chars + 3*i + 74) % 256 AS DOUBLE)), 'avg'), 6) AS mean_b
             FROM documents
+        """,
+        "wav_features": """
+            -- PCM16 stats of the deterministically-rendered 64-sample
+            -- waveform, recomputed from the generating formula (the
+            -- Spark side encodes + REALLY decodes the RIFF byte stream).
+            -- mean is a x/64 rational (exact at 6 decimals); rms uses
+            -- the IEEE-pure floor(x*1e6+0.5)/1e6 on both sides.
+            SELECT doc_id,
+                   16000 AS sample_rate, 64 AS n_samples,
+                   round(list_aggregate(list_transform(range(0, 64),
+                     k -> CAST((n_chars*31 + 17*k) % 65536 - 32768 AS DOUBLE)),
+                     'avg'), 6) AS mean_sample,
+                   floor(sqrt(list_aggregate(list_transform(range(0, 64),
+                     k -> CAST((n_chars*31 + 17*k) % 65536 - 32768 AS DOUBLE)
+                        * CAST((n_chars*31 + 17*k) % 65536 - 32768 AS DOUBLE)),
+                     'avg')) * 1e6 + 0.5) / 1e6 AS rms,
+                   CAST(list_aggregate(list_transform(range(0, 64),
+                     k -> abs((n_chars*31 + 17*k) % 65536 - 32768)),
+                     'max') AS BIGINT) AS peak
+            FROM documents
+        """,
+        "pack_stats": """
+            -- concat-and-chunk packing stats recomputed from span
+            -- arithmetic: token k of a doc = length of word k, so a
+            -- piece's token sum = chars in the word-slice it covers
+            WITH d AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                                 x -> x <> '') AS words
+              FROM documents
+            ), spans AS (
+              SELECT doc_id, source, words, CAST(len(words) AS BIGINT) AS n,
+                     CAST(sum(len(words)) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - len(words) AS BIGINT) AS strt
+              FROM d WHERE len(words) > 0
+            ), pieces AS (
+              SELECT s.source, c.chunk_id,
+                     least(s.strt + s.n, (c.chunk_id+1)*128)
+                       - greatest(s.strt, c.chunk_id*128) AS piece_len,
+                     length(array_to_string(list_slice(s.words,
+                         CAST(greatest(s.strt, c.chunk_id*128) - s.strt + 1 AS BIGINT),
+                         CAST(least(s.strt + s.n, (c.chunk_id+1)*128) - s.strt AS BIGINT)),
+                         '')) AS piece_sum
+              FROM spans s, LATERAL (SELECT unnest(generate_series(
+                     s.strt // 128, (s.strt + s.n - 1) // 128)) AS chunk_id) c
+            )
+            SELECT source, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(piece_len) AS BIGINT) AS n_tok,
+                   CAST(sum(piece_sum) AS BIGINT) AS sum_tok
+            FROM pieces GROUP BY source, chunk_id
+        """,
+        "gopher_quality": """
+            -- Gopher document-filter rules (Rae et al. 2021 A1.1),
+            -- min_words=20 / min_stop_hits=1 (non-vacuous on this corpus)
+            WITH d AS (
+              SELECT doc_id, text,
+                list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                            x -> x <> '') AS words,
+                list_filter(list_transform(string_split(text, chr(10)),
+                            l -> trim(l)), l -> l <> '') AS lines
+              FROM documents
+            ), mm AS (
+              SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                CASE WHEN len(words) > 0 THEN
+                  length(array_to_string(words, '')) * 1.0 / len(words)
+                  ELSE 0.0 END AS mean_word_len,
+                CASE WHEN len(words) > 0 THEN
+                  ((length(text) - length(replace(text, '#', '')))
+                   + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                  / len(words) ELSE 0.0 END AS symbol_ratio,
+                CASE WHEN len(words) > 0 THEN
+                  len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+                  * 1.0 / len(words) ELSE 0.0 END AS alpha_frac,
+                CAST(len(list_intersect(list_distinct(words),
+                  ['the','be','to','of','and','that','have','with']))
+                  AS BIGINT) AS stop_hits,
+                CAST(len(lines) AS BIGINT) AS n_lines,
+                CASE WHEN len(lines) > 0 THEN
+                  len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'
+                      OR l LIKE '•%')) * 1.0 / len(lines)
+                  ELSE 0.0 END AS bullet_frac,
+                CASE WHEN len(lines) > 0 THEN
+                  len(list_filter(lines, l -> l LIKE '%...')) * 1.0 / len(lines)
+                  ELSE 0.0 END AS ellipsis_frac,
+                CASE WHEN len(lines) > 0 THEN
+                  1.0 - len(list_distinct(lines)) * 1.0 / len(lines)
+                  ELSE 0.0 END AS dup_line_frac
+              FROM d
+            )
+            SELECT doc_id, n_words,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(symbol_ratio, 6) AS symbol_ratio,
+                   round(alpha_frac, 6) AS alpha_frac,
+                   stop_hits, n_lines,
+                   round(bullet_frac, 6) AS bullet_frac,
+                   round(ellipsis_frac, 6) AS ellipsis_frac,
+                   round(dup_line_frac, 6) AS dup_line_frac,
+                   (n_words >= 20 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_ratio <= 0.1 AND bullet_frac < 0.9
+                    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+                    AND stop_hits >= 1 AND dup_line_frac <= 0.3) AS keep
+            FROM mm
+        """,
+        "decontamination": """
+            -- benchmark = docs with doc_id % 19 == 0; flag any other doc
+            -- sharing a distinct word 5-gram with the benchmark set
+            WITH d AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                            x -> x <> '') AS words
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                CASE WHEN len(words) >= 5 THEN
+                  list_distinct(list_transform(
+                    range(1, CAST(len(words) AS BIGINT) - 3),
+                    i -> array_to_string(list_slice(words, i, i + 4), ' ')))
+                ELSE [] END AS shingles
+              FROM d
+            ), bench AS (
+              SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 19 = 0
+            ), hits AS (
+              SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+              FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+                    WHERE doc_id % 19 <> 0) x
+              JOIN bench b ON x.s = b.s
+              GROUP BY x.doc_id
+            )
+            SELECT s.doc_id, CAST(len(s.shingles) AS BIGINT) AS n_shingles,
+                   COALESCE(h.n_contaminated, 0) AS n_contaminated,
+                   COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+            FROM sh s LEFT JOIN hits h USING (doc_id)
+            WHERE s.doc_id % 19 <> 0
         """,
         "multimodal_features": """
             -- the fake decoder's features: numpy array_split(bytes, 16)

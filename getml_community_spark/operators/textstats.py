@@ -19,6 +19,8 @@ __all__ = [
     "doc_fingerprint",
     "vocabulary",
     "text_stats",
+    "gopher_quality",
+    "ngram_contamination",
 ]
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
@@ -120,6 +122,170 @@ def vocabulary(
         .where(F.col("doc_freq") >= min_df)
         .orderBy(F.desc("doc_freq"), F.asc("word"))
         .limit(max_size)
+    )
+
+
+# Gopher/MassiveText document-filter rules (Rae et al. 2021, §A1.1 —
+# public paper). Required-stopword list from the paper.
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100000,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition/quality document filter: one row per doc
+    with the rule metrics and the final ``keep`` verdict. Pure map —
+    every metric is a JVM array/string expression, no shuffle, no
+    Python. Rules (Rae et al. 2021 §A1.1):
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio (# and '...') <= 0.1
+    - < 90% of lines bullet-started; <= 30% ellipsis-ended
+    - >= 80% of words contain an alphabetic character
+    - >= ``min_stop_hits`` of the 8 required stopwords (paper: 2)
+    - duplicate-line fraction <= 0.30
+    """
+    t = F.col(text_col)
+    words = word_tokens(t)
+    n_words = F.size(words).cast("long")
+    # Σ word length via one concat — avoids a per-word aggregate
+    char_sum = F.length(F.array_join(words, "")).cast("long")
+    mean_wlen = F.when(n_words > 0, char_sum.cast("double") / n_words).otherwise(0.0)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words
+    ).otherwise(0.0)
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("double") / n_words,
+    ).otherwise(0.0)
+    stop = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(words), stop)).cast("long")
+
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    n_lines = F.size(lines).cast("long")
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.startswith("-") | x.startswith("*") | x.startswith("•"),
+            )
+        ).cast("double")
+        / n_lines,
+    ).otherwise(0.0)
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda x: x.endswith("..."))).cast("double") / n_lines,
+    ).otherwise(0.0)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+    ).otherwise(0.0)
+
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wlen >= 3.0)
+        & (mean_wlen <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= min_stop_hits)
+        & (dup_line_frac <= 0.3)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        n_lines.alias("n_lines"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        dup_line_frac.alias("dup_line_frac"),
+        keep.alias("keep"),
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word n-gram with a benchmark set (the n-gram-overlap decontamination
+    LLM training pipelines run against eval sets; 13-grams in GPT-3's
+    appendix — public).
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus, so it is deduplicated and **broadcast** — the corpus-side
+    explode joins with zero shuffle of corpus data; per-doc counts then
+    aggregate on ``id_col``. Returns one row per input doc:
+    (id, n_shingles, n_contaminated, contaminated).
+    """
+
+    def shingles(frame: DataFrame, keep_id: bool) -> DataFrame:
+        words = word_tokens(F.col(text_col))
+        sh = F.when(
+            F.size(words) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                    lambda i: F.array_join(F.slice(words, i, n), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        cols = [F.col(id_col)] if keep_id else []
+        return frame.select(*cols, F.explode(sh).alias("__sh"))
+
+    bench_set = shingles(benchmark, keep_id=False).distinct()
+    doc_sh = shingles(df, keep_id=True)
+    hits = (
+        doc_sh.join(F.broadcast(bench_set), "__sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )
+    w = word_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.when(
+            F.size(w) >= n,
+            F.size(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                        lambda i: F.array_join(F.slice(w, i, n), " "),
+                    )
+                )
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("n_shingles"),
+    )
+    return base.join(hits, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias(
+            "n_contaminated"
+        ),
+        (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("contaminated"),
     )
 
 

@@ -1,0 +1,171 @@
+"""Sequence packing (concat-and-chunk), Gopher quality filter, and
+n-gram decontamination — pure-Python oracles + plan assertions.
+
+The packing invariant here is the north rule's per-row token-array
+equality, applied to the operator most likely to scramble it: flattening
+a source's chunks in chunk order must reproduce the source's document
+token streams byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from getml_community_spark.operators.packing import pack_sequences, pack_stats
+from getml_community_spark.operators.textstats import (
+    gopher_quality,
+    ngram_contamination,
+)
+
+
+@pytest.fixture(scope="module")
+def tok_df(spark):
+    """Deterministic tokenized docs: 3 sources, doc lengths spanning
+    'shorter than ctx', 'exactly ctx', 'straddles many chunks', empty."""
+    rng = np.random.default_rng(7)
+    rows = []
+    doc_id = 0
+    for src in ("a", "b", "c"):
+        for _ in range(40):
+            n = int(rng.integers(0, 70))  # includes empty docs
+            rows.append((doc_id, src, rng.integers(0, 1000, n).tolist()))
+            doc_id += 1
+    # one doc far longer than ctx (straddles many chunks)
+    rows.append((doc_id, "a", rng.integers(0, 1000, 500).tolist()))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "tokens"]),
+        "doc_id long, source string, tokens array<int>",
+    )
+
+
+CTX = 32
+
+
+def test_pack_sequences_token_array_equality(spark, tok_df):
+    packed = pack_sequences(tok_df, CTX).orderBy("source", "chunk_id").toPandas()
+    docs = (
+        tok_df.where(F.size("tokens") > 0)
+        .orderBy("source", "doc_id")
+        .toPandas()
+    )
+    for src in docs["source"].unique():
+        want = [t for arr in docs[docs.source == src]["tokens"] for t in arr]
+        got_chunks = list(packed[packed.source == src]["tokens"])
+        got = [t for arr in got_chunks for t in arr]
+        assert got == want, f"token stream scrambled for source {src}"
+        # every chunk except the last is exactly CTX tokens
+        assert all(len(c) == CTX for c in got_chunks[:-1])
+        assert 1 <= len(got_chunks[-1]) <= CTX
+        # chunk ids are dense from 0
+        ids = list(packed[packed.source == src]["chunk_id"])
+        assert ids == list(range(len(ids)))
+
+
+def test_pack_stats_matches_pack_sequences(spark, tok_df):
+    stats = pack_stats(tok_df, CTX).orderBy("source", "chunk_id").toPandas()
+    packed = pack_sequences(tok_df, CTX).orderBy("source", "chunk_id").toPandas()
+    assert list(stats["n_tok"]) == [len(t) for t in packed["tokens"]]
+    assert list(stats["sum_tok"]) == [int(sum(t)) for t in packed["tokens"]]
+    assert list(stats["n_docs"]) == list(packed["n_docs"])
+
+
+def test_pack_long_doc_straddles_chunks(spark):
+    # one 100-token doc at offset 10 → pieces in chunks 0..3 of ctx 32
+    df = spark.createDataFrame(
+        [(0, "s", list(range(10))), (1, "s", list(range(100, 200)))],
+        "doc_id long, source string, tokens array<int>",
+    )
+    packed = pack_sequences(df, 32).orderBy("chunk_id").toPandas()
+    assert list(packed["chunk_id"]) == [0, 1, 2, 3]
+    assert list(packed["n_docs"]) == [2, 1, 1, 1]  # doc 1 spans all four
+    flat = [t for arr in packed["tokens"] for t in arr]
+    assert flat == list(range(10)) + list(range(100, 200))
+
+
+def test_pack_rejects_bad_ctx(spark, tok_df):
+    with pytest.raises(ValueError):
+        pack_sequences(tok_df, 0).collect()
+
+
+def test_gopher_rules_on_crafted_docs(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs off to have "
+        "a rest with some other animals that live nearby in the forest"
+    )
+    docs = [
+        (0, good),  # passes everything
+        (1, "short text"),  # too few words
+        (2, good + " ###### " * 6),  # symbol ratio blown
+        (3, "- one\n- two\n- three\n- four\n- five\n- six\n- seven\n- eight\n- nine\n- ten"),  # bullets
+        (4, ("same line\n" * 10) + good),  # duplicate lines
+        (5, good.replace(" ", "... ")),  # ellipsis symbols
+        (6, "x1 y2 " * 30),  # no stopwords, low alpha... alpha ok; stopwords=0
+    ]
+    out = (
+        gopher_quality(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "text",
+            "doc_id",
+            min_words=15,
+            min_stop_hits=2,
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert bool(out.loc[0, "keep"]) is True
+    assert bool(out.loc[1, "keep"]) is False  # n_words < 15
+    assert out.loc[2, "symbol_ratio"] > 0.1 and not out.loc[2, "keep"]
+    assert out.loc[3, "bullet_frac"] >= 0.9 and not out.loc[3, "keep"]
+    assert out.loc[4, "dup_line_frac"] > 0.3 and not out.loc[4, "keep"]
+    assert out.loc[5, "symbol_ratio"] > 0.1 and not out.loc[5, "keep"]
+    assert out.loc[6, "stop_hits"] == 0 and not out.loc[6, "keep"]
+
+
+def test_gopher_is_shuffle_free(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = gopher_quality(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map
+
+
+def test_ngram_contamination_counts(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # shares 'alpha beta gamma delta epsilon' (and one more 5-gram)
+            (0, "alpha beta gamma delta epsilon zeta eta"),
+            (1, "totally different words with no overlap at all here"),
+            (2, "tiny"),  # < n words → 0 shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        ngram_contamination(docs, bench, "text", "doc_id", n=5)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(out["contaminated"]) == [True, False, False]
+    assert out.loc[0, "n_contaminated"] == 2  # both 5-grams hit
+    assert out.loc[2, "n_shingles"] == 0
+
+
+def test_ngram_contamination_broadcasts_benchmark(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    plan = (
+        ngram_contamination(docs, bench, "text", "doc_id", n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # corpus never shuffles for the probe
