@@ -38,6 +38,7 @@ import pandas as pd
 
 __all__ = [
     "encode_segment",
+    "encode_segments_batch",
     "decode_segment",
     "compress_rollup",
     "decompress_segments",
@@ -243,6 +244,314 @@ def encode_segment(ts_epoch: np.ndarray, values: np.ndarray) -> bytes:
     val_packed, val_bits = _encode_values(vals)
     header = _HEADER.pack(_MAGIC, n, int(ts[0]), ts_bits, val_bits)
     return header + ts_packed + val_packed
+
+
+# --------------------------------------------------------------------- #
+# batch encode — vectorized ACROSS segments (no per-segment Python loop)
+#
+# compress_rollup sees one row per (source, day) group; when sources are
+# sparse those segments hold only a handful of points, and per-segment
+# encode_segment calls spend ~90 us each in numpy-call overhead (measured:
+# 40k 2.5-point segments at sf0.1 → 3.7 s of pure loop). The batch
+# encoder mirrors the batch decoder's architecture: all segments'
+# delta-of-delta / XOR code computation runs on ONE flat concatenated
+# array (segment boundaries handled by masks), the two bitstreams pack
+# with ONE global scatter + np.packbits, headers come from one structured
+# dtype view, and the per-row bytes objects are sliced from a single
+# assembled buffer. Python-level work is O(1) numpy calls per BATCH.
+# Bit-identical to encode_segment (pytest-asserted on random segments).
+# --------------------------------------------------------------------- #
+def _ts_codes_flat(
+    fts: np.ndarray, ns: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Delta-of-delta codes for all segments' timestamps concatenated in
+    segment order. Returns (codes uint64, lens int64, seg_of_code)."""
+    S = len(ns)
+    n_deltas = np.maximum(ns - 1, 0)
+    seg_of_delta = np.repeat(np.arange(S, dtype=np.int64), n_deltas)
+    if len(seg_of_delta) == 0:
+        return (
+            np.zeros(0, np.uint64),
+            np.zeros(0, np.int64),
+            seg_of_delta,
+        )
+    off = np.zeros(S + 1, dtype=np.int64)
+    np.cumsum(ns, out=off[1:])
+    # flat positions carrying a delta: every point except each segment's
+    # first — i.e. j with seg(j) == seg(j-1)
+    interior = np.ones(int(ns.sum()), dtype=bool)
+    interior[off[:-1][ns > 0]] = False
+    j = np.nonzero(interior)[0]
+    d = fts[j] - fts[j - 1]
+    # first delta of each segment: block starts in the delta list
+    dblock = np.zeros(S + 1, dtype=np.int64)
+    np.cumsum(n_deltas, out=dblock[1:])
+    first = np.zeros(len(d), dtype=bool)
+    first[dblock[:-1][n_deltas > 0]] = True
+    prev = np.empty_like(d)
+    prev[1:] = d[:-1]
+    prev[0] = 0
+    dods = np.where(first, d, d - prev)  # first delta: implicit prev_delta=0
+
+    c0 = dods == 0
+    c1 = (dods >= -63) & (dods <= 64) & ~c0
+    c2 = (dods >= -255) & (dods <= 256) & ~c0 & ~c1
+    c3 = (dods >= -2047) & (dods <= 2048) & ~c0 & ~c1 & ~c2
+    c4 = ~(c0 | c1 | c2 | c3)
+    if c4.any():
+        big = dods[c4]
+        if ((big < -(1 << 31)) | (big >= (1 << 31))).any():
+            raise ValueError(
+                "delta-of-delta exceeds the 32-bit escape class "
+                f"(max |dod| = {np.abs(big).max()}); split the segment"
+            )
+    codes = np.zeros(len(dods), dtype=np.uint64)
+    lens = np.zeros(len(dods), dtype=np.int64)
+    lens[c0] = 1  # '0'
+    codes[c1] = (np.uint64(0b10) << np.uint64(7)) | (dods[c1] + 63).astype(np.uint64)
+    lens[c1] = 9
+    codes[c2] = (np.uint64(0b110) << np.uint64(9)) | (dods[c2] + 255).astype(np.uint64)
+    lens[c2] = 12
+    codes[c3] = (np.uint64(0b1110) << np.uint64(12)) | (dods[c3] + 2047).astype(
+        np.uint64
+    )
+    lens[c3] = 16
+    codes[c4] = (np.uint64(0b1111) << np.uint64(32)) | (
+        dods[c4].astype(np.int64).view(np.uint64) & np.uint64(0xFFFFFFFF)
+    )
+    lens[c4] = 36
+    return codes, lens, seg_of_delta
+
+
+def _val_codes_flat(
+    fvals: np.ndarray, ns: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """XOR codes (two codewords per value, adjacent) for all segments'
+    values concatenated in segment order."""
+    S = len(ns)
+    seg_of_pt = np.repeat(np.arange(S, dtype=np.int64), ns)
+    if len(fvals) == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64), seg_of_pt
+    off = np.zeros(S + 1, dtype=np.int64)
+    np.cumsum(ns, out=off[1:])
+    bits = np.ascontiguousarray(fvals, dtype=np.float64).view(np.uint64)
+    prev = np.empty_like(bits)
+    prev[1:] = bits[:-1]
+    prev[off[:-1][ns > 0]] = 0  # each segment's first value XORs against 0
+    xors = bits ^ prev
+
+    nz = xors != 0
+    L = np.zeros(len(xors), dtype=np.int64)
+    T = np.zeros(len(xors), dtype=np.int64)
+    L[nz] = np.minimum(_clz64(xors[nz]), 31)
+    T[nz] = _ctz64(xors[nz])
+    M = np.where(nz, 64 - L - T, 0)
+    cw1 = np.where(
+        nz,
+        (np.uint64(0b11) << np.uint64(11))
+        | (L.astype(np.uint64) << np.uint64(6))
+        | (M.astype(np.uint64) & np.uint64(0x3F)),
+        np.uint64(0),
+    )
+    l1 = np.where(nz, 13, 1).astype(np.int64)
+    cw2 = np.where(nz, xors >> T.astype(np.uint64), np.uint64(0))
+    l2 = M.astype(np.int64)
+    codes = np.ravel(np.column_stack([cw1, cw2]))
+    lens = np.ravel(np.column_stack([l1, l2]))
+    seg_of_code = np.repeat(seg_of_pt, 2)
+    return codes, lens, seg_of_code
+
+
+class _Scratch:
+    """Grow-only reusable numpy buffers. On this host the first touch of
+    a fresh page costs ~70 us (hypervisor), so the encoder's big 2-D
+    temporaries must fault ONCE per worker process and then be reused —
+    the same discipline the batch decoder uses. Long-lived UDF workers
+    amortize the warmup across every subsequent Arrow batch."""
+
+    def __init__(self) -> None:
+        self._bufs: dict[tuple[str, str], np.ndarray] = {}
+
+    def get(self, key: str, shape: tuple[int, ...], dtype) -> np.ndarray:
+        n = int(np.prod(shape))
+        dt = np.dtype(dtype)
+        buf = self._bufs.get((key, dt.str))
+        if buf is None or buf.size < n:
+            buf = np.empty(max(n, 1024), dtype=dt)
+            self._bufs[(key, dt.str)] = buf
+        return buf[:n].reshape(shape)
+
+
+_SCRATCH = _Scratch()
+
+# chunk caps: bound every encoder temporary regardless of Arrow batch
+# size (a 10k-row batch of 1440-point segments is 14M points — unchunked,
+# the bit matrices alone would be ~15 GB and the per-bit scatter index
+# arrays several more)
+_MAX_PACK_CODES = 1 << 17  # ≤ (128k × 64) matrix ≈ 64 MB per scratch buf
+_MAX_BATCH_PTS = 1 << 17  # ≤ 128k points of flat/scatter arrays per pass
+# segments at or above this size encode with the per-segment kernel:
+# their numpy-call overhead is already amortized and the small working
+# set stays cache-resident (measured warm: scalar 1.2 us/pt on 700-pt
+# segments vs 1.6 us/pt batch; batch 0.5 s vs scalar 10.4 s on 40k
+# 2.5-pt segments — the hybrid takes each regime's winner)
+_SCALAR_MIN_PTS = 256
+
+
+def _pack_streams(
+    codes: np.ndarray, lens: np.ndarray, seg_of_code: np.ndarray, n_segs: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pack every segment's codes into byte-aligned streams in ONE
+    global scatter. Returns (packed bytes for all segments back-to-back,
+    per-seg byte counts, per-seg bit counts)."""
+    bits_per_seg = np.bincount(
+        seg_of_code, weights=lens.astype(np.float64), minlength=n_segs
+    ).astype(np.int64)
+    nbytes_per_seg = (bits_per_seg + 7) >> 3
+    if len(codes) == 0:
+        return np.zeros(0, np.uint8), nbytes_per_seg, bits_per_seg
+    # flat MSB-first bit expansion (same matrix trick as _pack_codes) —
+    # chunked so the (codes × maxlen) matrices stay bounded (~64 MB) and
+    # come from the scratch pool: the temporaries fault once per worker,
+    # then every later chunk/batch runs on warm pages
+    parts: list[np.ndarray] = []
+    for c0 in range(0, len(codes), _MAX_PACK_CODES):
+        sl = slice(c0, c0 + _MAX_PACK_CODES)
+        codes_c, lens_c = codes[sl], lens[sl]
+        maxlen = int(lens_c.max())
+        if maxlen == 0:
+            continue
+        shape = (len(codes_c), maxlen)
+        j = np.arange(maxlen, dtype=np.int64)
+        shifts = _SCRATCH.get("shifts", shape, np.int64)
+        np.subtract(lens_c[:, None], 1 + j[None, :], out=shifts)
+        valid = _SCRATCH.get("valid", shape, np.bool_)
+        np.greater_equal(shifts, 0, out=valid)
+        np.maximum(shifts, 0, out=shifts)
+        sh_u = _SCRATCH.get("sh_u", shape, np.uint64)
+        np.copyto(sh_u, shifts, casting="unsafe")
+        np.right_shift(codes_c[:, None], sh_u, out=sh_u)
+        np.bitwise_and(sh_u, np.uint64(1), out=sh_u)
+        parts.append(sh_u[valid].astype(np.uint8))
+    flat = parts[0] if len(parts) == 1 else np.concatenate(parts)
+    # scatter into a zero-padded buffer where each segment starts on a
+    # byte boundary, then ONE packbits
+    bit_off = np.zeros(n_segs + 1, dtype=np.int64)
+    np.cumsum(bits_per_seg, out=bit_off[1:])
+    byte_off = np.zeros(n_segs + 1, dtype=np.int64)
+    np.cumsum(nbytes_per_seg, out=byte_off[1:])
+    seg_of_bit = np.repeat(np.arange(n_segs, dtype=np.int64), bits_per_seg)
+    pos = np.arange(len(flat), dtype=np.int64)
+    dst = byte_off[seg_of_bit] * 8 + (pos - bit_off[seg_of_bit])
+    padded = _SCRATCH.get("padded", (int(byte_off[-1]) * 8,), np.uint8)
+    padded[:] = 0
+    padded[dst] = flat
+    return np.packbits(padded), nbytes_per_seg, bits_per_seg
+
+
+def encode_segments_batch(ts_list, val_list) -> list[bytes]:
+    """Encode many segments vectorized; element i of the result is
+    bit-identical to ``encode_segment(ts_list[i], val_list[i])``.
+
+    Outer chunking bounds the working set to ``_MAX_BATCH_PTS`` points
+    per pass — crucial on hosts where fresh pages fault slowly: every
+    pass after the first reuses the already-faulted heap/scratch pages.
+    """
+    S = len(ts_list)
+    if S == 0:
+        return []
+    ns_all = np.fromiter((len(t) for t in ts_list), dtype=np.int64, count=S)
+    out: list[bytes | None] = [None] * S
+    # big segments: per-segment kernel (amortized overhead, cache-resident)
+    big = np.nonzero(ns_all >= _SCALAR_MIN_PTS)[0]
+    for i in big:
+        out[i] = encode_segment(
+            np.asarray(ts_list[i], dtype=np.int64),
+            np.asarray(val_list[i], dtype=np.float64),
+        )
+    # small segments: flat batch kernel in bounded-working-set chunks
+    small = np.nonzero(ns_all < _SCALAR_MIN_PTS)[0]
+    i = 0
+    while i < len(small):
+        j, pts = i + 1, int(ns_all[small[i]])
+        while j < len(small) and pts + ns_all[small[j]] <= _MAX_BATCH_PTS:
+            pts += int(ns_all[small[j]])
+            j += 1
+        idx = small[i:j]
+        enc = _encode_chunk(
+            [ts_list[k] for k in idx], [val_list[k] for k in idx], ns_all[idx]
+        )
+        for k, blob in zip(idx, enc):
+            out[k] = blob
+        i = j
+    return out  # type: ignore[return-value]
+
+
+def _encode_chunk(ts_list, val_list, ns: np.ndarray) -> list[bytes]:
+    S = len(ts_list)
+    fts = (
+        np.concatenate([np.asarray(t, dtype=np.int64) for t in ts_list])
+        if ns.sum()
+        else np.zeros(0, np.int64)
+    )
+    fvals = (
+        np.concatenate([np.asarray(v, dtype=np.float64) for v in val_list])
+        if ns.sum()
+        else np.zeros(0, np.float64)
+    )
+    if len(fts) != len(fvals):
+        raise ValueError("ts/value lengths differ")
+
+    ts_codes, ts_lens, ts_seg = _ts_codes_flat(fts, ns)
+    val_codes, val_lens, val_seg = _val_codes_flat(fvals, ns)
+    ts_bytes, ts_nb, ts_bits = _pack_streams(ts_codes, ts_lens, ts_seg, S)
+    val_bytes, val_nb, val_bits = _pack_streams(val_codes, val_lens, val_seg, S)
+
+    # headers from one structured view (layout == _HEADER '<4sIqII')
+    hdr = np.zeros(
+        S,
+        dtype=[
+            ("m", "S4"),
+            ("n", "<u4"),
+            ("t0", "<i8"),
+            ("tb", "<u4"),
+            ("vb", "<u4"),
+        ],
+    )
+    hdr["m"] = _MAGIC
+    hdr["n"] = ns
+    off = np.zeros(S + 1, dtype=np.int64)
+    np.cumsum(ns, out=off[1:])
+    nonempty = ns > 0
+    t0 = np.zeros(S, dtype=np.int64)
+    t0[nonempty] = fts[off[:-1][nonempty]]
+    hdr["t0"] = t0
+    hdr["tb"] = ts_bits
+    hdr["vb"] = val_bits
+    hdr_bytes = hdr.view(np.uint8).reshape(S, _HEADER.size)
+
+    # assemble all containers in one buffer, slice per-row bytes out
+    out_len = _HEADER.size + ts_nb + val_nb
+    out_off = np.zeros(S + 1, dtype=np.int64)
+    np.cumsum(out_len, out=out_off[1:])
+    buf = np.zeros(int(out_off[-1]), dtype=np.uint8)
+    hdr_dst = (out_off[:-1, None] + np.arange(_HEADER.size)[None, :]).ravel()
+    buf[hdr_dst] = hdr_bytes.ravel()
+
+    def _scatter(stream: np.ndarray, nb: np.ndarray, extra: np.ndarray) -> None:
+        if len(stream) == 0:
+            return
+        src_off = np.zeros(S + 1, dtype=np.int64)
+        np.cumsum(nb, out=src_off[1:])
+        seg = np.repeat(np.arange(S, dtype=np.int64), nb)
+        within = np.arange(len(stream), dtype=np.int64) - src_off[seg]
+        buf[out_off[seg] + _HEADER.size + extra[seg] + within] = stream
+
+    _scatter(ts_bytes, ts_nb, np.zeros(S, dtype=np.int64))
+    _scatter(val_bytes, val_nb, ts_nb)
+
+    raw = buf.tobytes()
+    return [raw[int(s) : int(e)] for s, e in zip(out_off[:-1], out_off[1:])]
 
 
 # --------------------------------------------------------------------- #
@@ -537,14 +846,13 @@ def compress_rollup(
 
     @pandas_udf("binary")
     def encode_udf(ts_arrs, val_arrs):
-        out = []
-        for ts, vals in zip(ts_arrs, val_arrs):
-            out.append(
-                encode_segment(
-                    np.asarray(ts, dtype=np.int64), np.asarray(vals, dtype=np.float64)
-                )
-            )
-        return pd.Series(out)
+        # one vectorized pass per Arrow batch — sparse sources produce
+        # thousands of tiny (source, day) segments, where a per-segment
+        # loop pays ~90 us of numpy-call overhead each (measured 3.7 s
+        # on 40k segments); the batch kernel is O(1) numpy calls total
+        return pd.Series(
+            encode_segments_batch(list(ts_arrs), list(val_arrs))
+        )
 
     # day via epoch arithmetic — to_date() is a non-codegen timezone
     # path measured ~9x slower per row; NTZ hops through TIMESTAMP
