@@ -150,3 +150,32 @@ def test_foreign_10_control_stream_falls_back():
     t, v = decode_segment(blob)
     assert (t == ts).all()
     assert v[0] == 1.0 and v[1] == 1.0 and v[2] == 0.0
+
+
+def test_batch_encoder_bit_identical_to_scalar():
+    """encode_segments_batch must produce byte-for-byte the same blobs
+    as per-segment encode_segment, across the hybrid dispatch boundary
+    (tiny batch-kernel segments AND >=256-point scalar-kernel segments),
+    empty and single-point segments included."""
+    from getml_community_spark.functions.gorilla import encode_segments_batch
+
+    rng = np.random.default_rng(123)
+    ts_list, val_list = [], []
+    for i in range(300):
+        n = int(rng.integers(1, 12)) if i % 2 else int(rng.integers(250, 1500))
+        base = int(rng.integers(1_700_000_000, 1_700_050_000))
+        ts_list.append(np.sort(base + rng.integers(0, 86400, n)).astype(np.int64))
+        v = rng.normal(0, 100, n)
+        v[rng.random(n) < 0.3] = 42.0  # identical-value runs → '0' codeword
+        val_list.append(v)
+    ts_list += [np.zeros(0, np.int64), np.array([123], np.int64)]
+    val_list += [np.zeros(0, np.float64), np.array([1.5])]
+
+    batch = encode_segments_batch(ts_list, val_list)
+    scalar = [encode_segment(t, v) for t, v in zip(ts_list, val_list)]
+    assert all(a == b for a, b in zip(batch, scalar))
+    # and the decoder closes the loop on a sample
+    for i in (0, 1, 300, 301):
+        t, v = decode_segment(batch[i])
+        assert np.array_equal(t, ts_list[i])
+        assert np.array_equal(v.view(np.uint64), val_list[i].view(np.uint64))
