@@ -208,10 +208,25 @@ def minhash_lsh_pairs(
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
     sig = minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes)
-    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
-    banded = with_sig.select(
+    # Materialize the signature matrix ONCE — per doc, not per band. The
+    # self-join's branches do NOT share the signature subtree (no
+    # exchange reuse across aliases), so without a barrier the
+    # pandas-UDF signature pass runs twice. localCheckpoint (not
+    # persist): persist() registers in the plan-keyed CacheManager and
+    # leaks across repeated corpus-scale calls unless every caller
+    # remembers to unpersist; checkpointed RDD blocks are
+    # ContextCleaner-managed — freed when the DataFrame is GC'd.
+    sig_tbl = df.select(F.col(id_col).alias("id"), sig.alias("sig")).localCheckpoint(
+        eager=True
+    )
+    # Slim banded rows: (id, band, bucket) only. Carrying the signature
+    # array through the band explode would replicate every doc's
+    # num_hashes longs `bands` times through BOTH sides of the shuffle
+    # (32x write amplification at corpus scale); instead the bucket join
+    # moves three longs per row and the signatures join back
+    # candidate-only below.
+    banded = sig_tbl.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -225,33 +240,33 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
-    # Materialize the signature matrix ONCE: the self-join's two branches
-    # do NOT share the signature subtree (no exchange reuse across
-    # aliases), so without this the pandas-UDF signature pass runs twice.
-    # localCheckpoint (not persist): persist() registers in the plan-keyed
-    # CacheManager and leaks across repeated corpus-scale calls unless
-    # every caller remembers to unpersist; checkpointed RDD blocks are
-    # ContextCleaner-managed — freed when the DataFrame is GC'd.
-    banded = banded.localCheckpoint(eager=True)
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    cand = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.id") < F.col("r.id")),
         )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig_tbl.select(F.col("id").alias("id_a"), F.col("sig").alias("__sig_a"))
+    sb = sig_tbl.select(F.col("id").alias("id_b"), F.col("sig").alias("__sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
+            "id_a",
+            "id_b",
             (
                 F.size(
                     F.filter(
                         F.zip_with(
-                            "l.sig", "r.sig", lambda a, b: (a == b).cast("int")
+                            "__sig_a", "__sig_b", lambda a, b: (a == b).cast("int")
                         ),
                         lambda x: x == 1,
                     )
@@ -259,10 +274,7 @@ def minhash_lsh_pairs(
                 / F.lit(float(num_hashes))
             ).alias("est_jaccard"),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.max("est_jaccard").alias("est_jaccard"))
     )
-    return pairs
 
 
 def minhash_lsh_pairs_verified(
