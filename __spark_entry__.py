@@ -1094,11 +1094,14 @@ def q_wav_features(spark, sf):
 def q_pack_stats(spark, sf):
     """Sequence packing (concat-and-chunk into 128-token training
     windows) over deterministically synthesized tokens (token k = length
-    of word k — reproducible in SQL, where the piece token-sum falls out
-    of prefix string lengths). Chunk stats derive from span arithmetic
-    in the oracle and from the REAL packed piece slices on the Spark
-    side, so a slice/ordering bug cannot cancel out."""
-    from getml_community_spark.operators.packing import pack_stats
+    of word k — reproducible in SQL, where a piece's token-sum falls out
+    of prefix string lengths). Stats are read from the REAL assembled
+    chunk arrays, and ``ord_sum`` (Σ position_in_chunk × token, 1-based)
+    is ORDER-SENSITIVE: a within-chunk ordering or slicing bug changes
+    it even when the token multiset survives. The oracle recomputes it
+    from span algebra: a piece starting 0-based at p0 in its chunk
+    contributes p0·Σlen + Σ j·len(w_j)."""
+    from getml_community_spark.operators.packing import pack_sequences
     from getml_community_spark.operators.textstats import word_tokens
 
     docs = _load(spark, sf, "documents")
@@ -1109,12 +1112,21 @@ def q_pack_stats(spark, sf):
             word_tokens(F.col("text")), lambda w: F.length(w).cast("int")
         ).alias("tokens"),
     )
-    return pack_stats(toks, 128).select(
+    packed = pack_sequences(toks, 128)
+    zero = F.lit(0).cast("long")
+    return packed.select(
         "source",
         F.col("chunk_id").cast("long").alias("chunk_id"),
         "n_docs",
         "n_tok",
-        "sum_tok",
+        F.aggregate("tokens", zero, lambda a, x: a + x.cast("long")).alias(
+            "sum_tok"
+        ),
+        F.aggregate(
+            F.transform("tokens", lambda x, i: ((i + 1) * x).cast("long")),
+            zero,
+            lambda a, x: a + x,
+        ).alias("ord_sum"),
     )
 
 
@@ -1840,16 +1852,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT s.source, c.chunk_id,
                      least(s.strt + s.n, (c.chunk_id+1)*128)
                        - greatest(s.strt, c.chunk_id*128) AS piece_len,
+                     greatest(s.strt, c.chunk_id*128) - c.chunk_id*128 AS p0,
                      length(array_to_string(list_slice(s.words,
                          CAST(greatest(s.strt, c.chunk_id*128) - s.strt + 1 AS BIGINT),
                          CAST(least(s.strt + s.n, (c.chunk_id+1)*128) - s.strt AS BIGINT)),
-                         '')) AS piece_sum
+                         '')) AS piece_sum,
+                     -- order-sensitive: Σ j·len(w_j) over the piece's
+                     -- words (j 1-based within the piece)
+                     list_sum(list_transform(list_slice(s.words,
+                         CAST(greatest(s.strt, c.chunk_id*128) - s.strt + 1 AS BIGINT),
+                         CAST(least(s.strt + s.n, (c.chunk_id+1)*128) - s.strt AS BIGINT)),
+                         (w, j) -> j * length(w))) AS piece_jsum
               FROM spans s, LATERAL (SELECT unnest(generate_series(
                      s.strt // 128, (s.strt + s.n - 1) // 128)) AS chunk_id) c
             )
             SELECT source, chunk_id, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(piece_len) AS BIGINT) AS n_tok,
-                   CAST(sum(piece_sum) AS BIGINT) AS sum_tok
+                   CAST(sum(piece_sum) AS BIGINT) AS sum_tok,
+                   CAST(sum(p0 * piece_sum + piece_jsum) AS BIGINT) AS ord_sum
             FROM pieces GROUP BY source, chunk_id
         """,
         "gopher_quality": """
