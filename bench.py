@@ -44,6 +44,9 @@ HEADLINE = [
     "simhash_pairs",
     "lag_rolling_1h",
     "sliding_window",
+    "pack_stats",
+    "gopher_quality",
+    "decontamination",
 ]
 
 

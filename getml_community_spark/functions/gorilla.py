@@ -388,7 +388,10 @@ _SCRATCH = _Scratch()
 # size (a 10k-row batch of 1440-point segments is 14M points — unchunked,
 # the bit matrices alone would be ~15 GB and the per-bit scatter index
 # arrays several more)
-_MAX_PACK_CODES = 1 << 17  # ≤ (128k × 64) matrix ≈ 64 MB per scratch buf
+# (16k × 64) matrix ≈ 8 MB per scratch buffer: small enough that a COLD
+# worker's first-touch cost is ~0.1 s (3 buffers), large enough that the
+# per-chunk numpy-call overhead (~15 calls) stays <1% of chunk work
+_MAX_PACK_CODES = 1 << 14
 _MAX_BATCH_PTS = 1 << 17  # ≤ 128k points of flat/scatter arrays per pass
 # segments at or above this size encode with the per-segment kernel:
 # their numpy-call overhead is already amortized and the small working
