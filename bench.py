@@ -142,11 +142,15 @@ def main() -> None:
         fn = qs[name]
         # warm once (JVM/py-worker buffer first-touch on this host costs
         # seconds and lands on whichever query allocates first), then
-        # time the steady-state run — the regime that matters at scale
+        # report the best of two steady-state runs — single timings on
+        # this host carry multi-second scheduler/page-fault jitter
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        qtimes[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        qtimes[name] = round(best, 3)
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     print(

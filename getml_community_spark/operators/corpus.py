@@ -1,0 +1,94 @@
+"""Corpus cleaning pipeline: the composition a training-data team runs
+end-to-end — quality filter → exact dedup → near dedup → benchmark
+decontamination — as ONE call with per-stage survivor lineage.
+
+Each stage is one of this package's oracle-checked operators; this
+module only composes them (same pattern as the reference's preprocessor
+chain, src/python-api/getml/pipeline/pipeline.py preprocessors= list,
+applied in declaration order).
+
+Scale notes: stages are lazy transformations; with ``report=False``
+(default) the whole clean is ONE Spark job when the result is written.
+``report=True`` adds one count() action per stage — bounded metadata,
+the per-stage numbers a data-quality dashboard wants, at the cost of
+recomputing the upstream chain per stage (cache the input first if the
+scan is expensive).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import exact_dedup, minhash_lsh_dedup
+from .textstats import gopher_quality, ngram_contamination
+
+__all__ = ["clean_corpus", "CleanReport"]
+
+
+@dataclass
+class CleanReport:
+    """Per-stage survivor counts (filled when report=True)."""
+
+    stages: list[tuple[str, int]] = field(default_factory=list)
+
+    def survivors(self) -> int:
+        return self.stages[-1][1] if self.stages else 0
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    benchmark: DataFrame | None = None,
+    min_words: int = 50,
+    min_stop_hits: int = 2,
+    jaccard_threshold: float = 0.8,
+    contamination_ngram: int = 5,
+    report: bool = False,
+) -> tuple[DataFrame, CleanReport]:
+    """Run the standard cleaning chain and return (clean_df, report).
+
+    Stages, in order (each drops rows, never mutates them):
+    1. gopher  — Gopher/MassiveText quality rules (keep == true)
+    2. exact   — exact dedup on normalized text (keep min id)
+    3. near    — MinHash-LSH near-dedup at ``jaccard_threshold``
+    4. decontam— drop docs sharing any ``contamination_ngram``-gram with
+                 ``benchmark`` (skipped when benchmark is None)
+    """
+    rep = CleanReport()
+
+    def note(name: str, frame: DataFrame) -> DataFrame:
+        if report:
+            rep.stages.append((name, frame.count()))
+        return frame
+
+    note("input", df)
+
+    keep = gopher_quality(
+        df, text_col, id_col, min_words=min_words, min_stop_hits=min_stop_hits
+    ).where("keep")
+    out = df.join(keep.select(id_col), id_col, "left_semi")
+    out = note("gopher", out)
+
+    # exact_dedup returns (id, dup_count) winners — semi-join to keep rows
+    winners = exact_dedup(out, text_col, id_col).select(id_col)
+    out = note("exact", out.join(winners, id_col, "left_semi"))
+
+    out = note(
+        "near",
+        minhash_lsh_dedup(
+            out, text_col, id_col, threshold=jaccard_threshold, verify=True
+        ),
+    )
+
+    if benchmark is not None:
+        flags = ngram_contamination(
+            out, benchmark, text_col, id_col, n=contamination_ngram
+        ).where(~F.col("contaminated"))
+        out = note(
+            "decontam", out.join(flags.select(id_col), id_col, "left_semi")
+        )
+
+    return out, rep

@@ -1,0 +1,57 @@
+"""clean_corpus composition: each stage drops exactly what its operator
+says it drops, in order, with lineage counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from getml_community_spark.operators.corpus import clean_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs away "
+        "to have a long rest with all of the other animals that live in "
+        "the deep dark forest beyond the hills where nobody ever goes"
+    )
+    rows = [
+        (0, good + " first variant ending"),
+        (1, good + " first variant ending"),  # exact dup of 0
+        (2, good + " first variant endinX"),  # near dup of 0 (1 token off)
+        (3, "too short"),  # gopher: word count
+        (4, good + " completely distinct tail about benchmark leakage topics"),
+        (5, good.replace("forest", "meadow") + " another wholly distinct ending here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_clean_corpus_stages(spark, corpus):
+    bench = spark.createDataFrame(
+        [(100, "completely distinct tail about benchmark leakage topics")],
+        "doc_id long, text string",
+    )
+    out, rep = clean_corpus(
+        corpus,
+        benchmark=bench,
+        min_words=20,
+        min_stop_hits=1,
+        jaccard_threshold=0.8,
+        report=True,
+    )
+    stages = dict(rep.stages)
+    assert stages["input"] == 6
+    assert stages["gopher"] == 5  # doc 3 dropped
+    assert stages["exact"] == 4  # doc 1 (exact dup, higher id) dropped
+    assert stages["near"] == 3  # doc 2 (near dup) dropped
+    assert stages["decontam"] == 2  # doc 4 shares bench 5-grams
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert ids == [0, 5]
+    assert rep.survivors() == 2
+
+
+def test_clean_corpus_lazy_without_report(spark, corpus):
+    out, rep = clean_corpus(corpus, min_words=20, min_stop_hits=1)
+    assert rep.stages == []  # no actions ran
+    assert out.count() == 3  # gopher, exact, near each drop one doc
