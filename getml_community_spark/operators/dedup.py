@@ -484,11 +484,10 @@ def embedding_near_dups(
     similarity.lsh_topk) — candidates are bucket collisions only, so
     the pair count is bounded by bucket occupancy, not n^2; exact
     cosine filters candidates. Recall < 1 by construction; raise
-    num_tables for higher recall. The bucketed frame (vector ×
-    num_tables) is materialized once (eager localCheckpoint) to avoid a
-    double signature pass across the self-join branches — at very large
-    corpora, pre-materialize the signatures to a table instead and join
-    against that.
+    num_tables for higher recall. The vector table is materialized once
+    (eager localCheckpoint, GC-cleaned); the bucket self-join moves only
+    (id, table, bucket) rows and vectors join back candidate-only, so
+    no embedding ever crosses the shuffle more than once per side.
     """
     from .similarity import _random_planes, cosine, srp_signature
 
@@ -508,9 +507,15 @@ def embedding_near_dups(
     tables = [
         _random_planes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)
     ]
-    bucketed = base.select(
+    # one materialized pass over the vectors (eager localCheckpoint:
+    # the bucket self-join branches don't share subtrees, and the
+    # candidate cosine rejoin below reads it a third time)
+    vec_tbl = base.localCheckpoint(eager=True)
+    # Slim bucketed rows (id, table, bucket): carrying the embedding
+    # through the explode would shuffle every vector num_tables× on both
+    # join sides; instead vectors join back candidate-only.
+    bucketed = vec_tbl.select(
         "id",
-        "v",
         F.explode(
             F.array(
                 *[
@@ -522,10 +527,8 @@ def embedding_near_dups(
                 ]
             )
         ).alias("tb"),
-    ).select("id", "v", "tb.table", "tb.bucket")
+    ).select("id", "tb.table", "tb.bucket")
     bucketed = _cap_buckets(bucketed, ["table", "bucket"], max_bucket_size)
-    # eager localCheckpoint: one SRP-signature pass, GC-cleaned blocks
-    bucketed = bucketed.localCheckpoint(eager=True)
     l, r = bucketed.alias("l"), bucketed.alias("r")
     cand = (
         l.join(
@@ -534,12 +537,16 @@ def embedding_near_dups(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            cosine(F.col("l.v"), F.col("r.v")).alias("cosine"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.max("cosine").alias("cosine"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
     )
-    return cand.where(F.col("cosine") >= threshold)
+    va = vec_tbl.select(F.col("id").alias("id_a"), F.col("v").alias("__va"))
+    vb = vec_tbl.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"))
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine")
+        )
+    )
+    return scored.where(F.col("cosine") >= threshold)
