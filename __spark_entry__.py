@@ -1167,6 +1167,25 @@ def q_decontamination(spark, sf):
     return ngram_contamination(corpus, bench, "text", "doc_id", n=5)
 
 
+def q_tfidf_topk(spark, sf):
+    """Top-3 tf-idf terms per document (smoothed sklearn idf), rounded
+    with the IEEE-pure floor pattern: ln() agrees between JVM and
+    DuckDB to the ulp on identical rational inputs, and the floor-round
+    collapses any last-ulp drift below the 6-decimal gate."""
+    from getml_community_spark.operators.textstats import tfidf_topk
+
+    docs = _load(spark, sf, "documents")
+    out = tfidf_topk(docs, "text", "doc_id", k=3, min_df=2)
+    return out.select(
+        "doc_id",
+        "term",
+        (F.floor(F.col("tfidf") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "tfidf"
+        ),
+        "rank",
+    )
+
+
 def q_minhash_dedup(spark, sf):
     """MinHash+LSH near-dedup with exact-Jaccard verification
     (LSH-then-verify): candidates come from banded LSH, the keep/drop
@@ -1263,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "bmp_decode": q_bmp_decode,
         "wav_features": q_wav_features,
+        "tfidf_topk": q_tfidf_topk,
         "pack_stats": q_pack_stats,
         "gopher_quality": q_gopher_quality,
         "decontamination": q_decontamination,
@@ -1833,6 +1853,35 @@ def oracle_sql() -> dict[str, str]:
                      k -> abs((n_chars*31 + 17*k) % 65536 - 32768)),
                      'max') AS BIGINT) AS peak
             FROM documents
+        """,
+        "tfidf_topk": """
+            -- smoothed tf-idf (sklearn form), top-3 per doc with
+            -- (tfidf desc, term asc) tiebreak; same ascii tokenizer
+            WITH words AS (
+              SELECT doc_id, unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9'']+'),
+                       x -> x <> '')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) >= 2
+            ), n AS (
+              SELECT count(*) AS n_docs FROM documents
+            ), scored AS (
+              SELECT t.doc_id, t.term,
+                     t.tf * (ln((n.n_docs + 1) * 1.0 / (d.df + 1)) + 1.0) AS tfidf
+              FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+            ), ranked AS (
+              SELECT doc_id, term, tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, term,
+                   floor(tfidf * 1e6 + 0.5) / 1e6 AS tfidf,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
         """,
         "pack_stats": """
             -- concat-and-chunk packing stats recomputed from span

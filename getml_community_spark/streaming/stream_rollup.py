@@ -28,7 +28,44 @@ from ..operators.rollup import (
     _is_integral,
 )
 
-__all__ = ["stream_rollup", "stream_gorilla_segments", "stream_corpus_reader"]
+__all__ = [
+    "stream_rollup",
+    "stream_gorilla_segments",
+    "stream_corpus_reader",
+    "stream_exact_dedup",
+]
+
+
+def stream_exact_dedup(
+    stream: DataFrame,
+    content_col: str,
+    ts_col: str,
+    watermark: str = "10 minutes",
+    normalize: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST occurrence of each
+    content fingerprint within the watermark horizon — the continuous
+    form of :func:`..operators.dedup.exact_dedup` for ingest-time
+    filtering of a document stream.
+
+    State discipline (the 100 TB-ingest shape): state per key is the
+    16-byte (h1, h2) fingerprint + event-time, NOT the text —
+    ``dropDuplicatesWithinWatermark`` evicts keys once they age past
+    the watermark, so state is bounded by unique docs per horizon, not
+    by the stream's history. The same salt-first independent double
+    xxhash64 as the batch operator (collision ~2^-128 per pair).
+    """
+    c = F.col(content_col)
+    if normalize:
+        c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    fp = stream.withColumn("__h1", F.xxhash64(c)).withColumn(
+        "__h2", F.xxhash64(F.lit(0x27D4EB4F), c)
+    )
+    return (
+        fp.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h1", "__h2"])
+        .drop("__h1", "__h2")
+    )
 
 
 def stream_rollup(

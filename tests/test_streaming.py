@@ -148,3 +148,57 @@ def test_streamed_tier_feeds_batch_cascade(spark, tmp_path):
     got = rollup_cascade(spark.table("tier_1m_stream"), "1h").toPandas()
     want = rollup_from_raw(spark.read.parquet(path), "1h").toPandas()
     assert_frames_equal_unordered(got, want, ["source", "bucket_start"])
+
+
+def test_stream_exact_dedup_first_occurrence_only(spark, tmp_path):
+    """Streaming dedup emits exactly one row per distinct normalized
+    content — the first by arrival — across multiple micro-batches, and
+    keeps distinct docs intact."""
+    import pandas as pd
+
+    from getml_community_spark.streaming.stream_rollup import stream_exact_dedup
+
+    src = str(tmp_path / "docs")
+    # two files → two micro-batches with maxFilesPerTrigger=1
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    f1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta", "ALPHA   beta", "gamma delta"],  # 2 ≡ 1
+            "event_time": [base, base, base + pd.Timedelta(seconds=30)],
+        }
+    )
+    f2 = pd.DataFrame(
+        {
+            "doc_id": [4, 5],
+            "text": ["alpha beta", "epsilon zeta"],  # 4 ≡ 1 across batches
+            "event_time": [base + pd.Timedelta(seconds=60)] * 2,
+        }
+    )
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    # microsecond timestamps — Spark's parquet reader rejects pandas'
+    # default nanos for a TimestampType stream schema
+    f1.to_parquet(os.path.join(src, "a.parquet"), coerce_timestamps="us")
+    f2.to_parquet(os.path.join(src, "b.parquet"), coerce_timestamps="us")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, event_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = stream_exact_dedup(stream, "text", "event_time", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.sql("SELECT doc_id FROM dedup_stream").toPandas()
+    # one survivor per distinct normalized text; doc 2 (same batch) and
+    # doc 4 (later batch) are duplicates of doc 1's content
+    assert sorted(got["doc_id"]) == [1, 3, 5]
