@@ -47,6 +47,7 @@ HEADLINE = [
     "pack_stats",
     "gopher_quality",
     "decontamination",
+    "tfidf_topk",
 ]
 
 
