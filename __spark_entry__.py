@@ -1167,6 +1167,30 @@ def q_decontamination(spark, sf):
     return ngram_contamination(corpus, bench, "text", "doc_id", n=5)
 
 
+def q_lttb_6h(spark, sf):
+    """LTTB perceptual downsampling (fixed-reference variant) to one
+    representative point per (user, 6h bucket). Inputs are quantized —
+    ts floored to whole seconds, value to 1/16ths — so every bucket
+    average is an exact dyadic rational (order-independent double sums)
+    and the per-bucket argmax is engine-independent."""
+    from getml_community_spark.operators.downsample import lttb_downsample
+
+    ev = _load(spark, sf, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("tsec"),
+        (F.floor(F.col("value") * 16 + 0.5) / 16).alias("vq"),
+    )
+    out = lttb_downsample(
+        ev, 21600, source_col="user_id", ts_col="tsec", value_col="vq"
+    )
+    return out.select(
+        F.col("source").cast("long").alias("user_id"),
+        F.col("bucket_epoch").cast("long").alias("bucket_epoch"),
+        F.col("ts").cast("long").alias("ts"),
+        _r(F.col("value")).alias("value"),
+    )
+
+
 def q_tfidf_topk(spark, sf):
     """Top-3 tf-idf terms per document (smoothed sklearn idf), rounded
     with the IEEE-pure floor pattern: ln() agrees between JVM and
@@ -1283,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_decode": q_bmp_decode,
         "wav_features": q_wav_features,
         "tfidf_topk": q_tfidf_topk,
+        "lttb_6h": q_lttb_6h,
         "pack_stats": q_pack_stats,
         "gopher_quality": q_gopher_quality,
         "decontamination": q_decontamination,
@@ -1853,6 +1878,44 @@ def oracle_sql() -> dict[str, str]:
                      k -> abs((n_chars*31 + 17*k) % 65536 - 32768)),
                      'max') AS BIGINT) AS peak
             FROM documents
+        """,
+        "lttb_6h": """
+            -- LTTB fixed-reference downsampling; quantized inputs make
+            -- bucket averages exact dyadic rationals (order-free sums).
+            -- floor(epoch(ts)): Spark's timestamp->long cast truncates,
+            -- DuckDB's double->bigint cast rounds
+            WITH p2 AS (
+              SELECT user_id AS source,
+                     CAST(floor(epoch(ts)) AS DOUBLE) AS t,
+                     floor(value * 16 + 0.5) / 16 AS v,
+                     CAST(floor(floor(epoch(ts)) / 21600) * 21600 AS BIGINT)
+                       AS bucket_epoch
+              FROM events
+            ), avgs AS (
+              SELECT source, bucket_epoch,
+                     sum(t) / count(*) AS at, sum(v) / count(*) AS av
+              FROM p2 GROUP BY 1, 2
+            ), nbr AS (
+              SELECT source, bucket_epoch,
+                     lag(at)  OVER w AS pt, lag(av)  OVER w AS pv,
+                     lead(at) OVER w AS nt, lead(av) OVER w AS nv
+              FROM avgs WINDOW w AS (PARTITION BY source ORDER BY bucket_epoch)
+            ), scored AS (
+              SELECT p.source, p.bucket_epoch, p.t, p.v,
+                     CASE WHEN n.pt IS NULL THEN p.t
+                          WHEN n.nt IS NULL THEN -p.t
+                          ELSE -abs((n.pt - n.nt) * (p.v - n.pv)
+                                    - (n.pt - p.t) * (n.nv - n.pv))
+                     END AS ok
+              FROM p2 p JOIN nbr n USING (source, bucket_epoch)
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY source, bucket_epoch
+                          ORDER BY ok ASC, t ASC) AS rn
+              FROM scored
+            )
+            SELECT CAST(source AS BIGINT) AS user_id, bucket_epoch,
+                   CAST(t AS BIGINT) AS ts, round(v, 6) AS value
+            FROM ranked WHERE rn = 1
         """,
         "tfidf_topk": """
             -- smoothed tf-idf (sklearn form), top-3 per doc with

@@ -19,10 +19,12 @@ oracle           numpy implementation of the full aggregation battery (test orac
 checkpoint       snapshot-manifest table layer + per-partition lineage + resume
 plans            RollupSpec — the declarative job spec (Placeholder analogue)
 operators        rollup tiers, gap-fill, as-of join, agg battery, dedup,
-                 similarity search, text stats, multimodal plumbing, skew tools
+                 similarity search, text stats, sequence packing, corpus
+                 cleaning, multimodal codecs/plumbing, skew tools
 functions        scalar expression surface, Gorilla numpy kernels, preprocessors
 sources          readers/writers (csv/parquet/json/jdbc; snapshot tables)
-streaming        structured-streaming variant of the 1m tier
+streaming        structured-streaming 1m tier, stateful Gorilla segment
+                 close, watermark-evicted streaming dedup
 """
 
 __version__ = "0.1.0"
