@@ -48,6 +48,7 @@ HEADLINE = [
     "gopher_quality",
     "decontamination",
     "tfidf_topk",
+    "lttb_6h",
 ]
 
 

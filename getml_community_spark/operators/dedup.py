@@ -89,7 +89,18 @@ _SHINGLE_SPLIT = {"ascii": r"[^a-z0-9]+", "unicode": r"[^\p{L}\p{N}]+"}
 
 def shingles(text: Column, n: int = 5, charset: str = "ascii") -> Column:
     """Word n-gram shingle set (array<string>) — JVM-side: split, slide,
-    concat. Empty/short docs yield the whole-doc shingle."""
+    concat. Empty/short docs yield the whole-doc shingle.
+
+    Deliberately the PLAIN inline form, NOT the let-binding
+    (element_at(transform(array(words), ...), 1)) textstats._let uses:
+    this expression feeds the minhash pandas UDF, and wrapping the
+    UDF's argument in the extra lambda level makes Spark's PythonUDF
+    extraction intermittently fail on re-executed plans
+    ([INTERNAL_ERROR] Cannot evaluate _sig(...) — reproduced on the
+    second noop-write of the same query). Subexpression elimination
+    handles this class correctly for the `[^a-z0-9]+` split, so the
+    per-element re-evaluation pathology the let-binding guards against
+    does not occur here (measured: 0.4 s at sf0.1, same as let-bound)."""
     words = F.filter(F.split(F.lower(text), _SHINGLE_SPLIT[charset]), lambda w: w != "")
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(0), k - 1)

@@ -126,6 +126,31 @@ def vocabulary(
     )
 
 
+def _let(arr: Column, body) -> Column:
+    """Bind an array expression to a lambda variable so it is evaluated
+    ONCE per row. Higher-order lambdas inline outer expressions into
+    the per-element tree, and subexpression elimination does not always
+    rescue the interpreted path (measured: the `[^a-z0-9']+` tokenizer
+    re-split the document per shingle — 24x slower than this binding).
+    """
+    return F.element_at(F.transform(F.array(arr), body), 1)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input to the cluster's default parallelism.
+
+    The heavy expressions in this module (higher-order array lambdas,
+    n-gram transforms) are interpreted, not codegen, so a single-file
+    parquet scan would run them on ONE core (measured: 23 s for the
+    decontamination query at sf0.1 vs ~2 s spread). Metadata no-op when
+    the input already has enough partitions — the normal case at scale.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # Gopher/MassiveText document-filter rules (Rae et al. 2021, §A1.1 —
 # public paper). Required-stopword list from the paper.
 _GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
@@ -152,6 +177,7 @@ def gopher_quality(
     - >= ``min_stop_hits`` of the 8 required stopwords (paper: 2)
     - duplicate-line fraction <= 0.30
     """
+    df = _spread(df)
     t = F.col(text_col)
     words = word_tokens(t)
     n_words = F.size(words).cast("long")
@@ -240,20 +266,28 @@ def ngram_contamination(
     aggregate on ``id_col``. Returns one row per input doc:
     (id, n_shingles, n_contaminated, contaminated).
     """
+    df = _spread(df)
+    benchmark = _spread(benchmark)
+
+    def shingle_expr() -> Column:
+        # _let binds the tokenized words once per row — without it the
+        # tokenizer re-splits the text per shingle (measured 24x)
+        return _let(
+            word_tokens(F.col(text_col)),
+            lambda w: F.when(
+                F.size(w) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                        lambda i: F.array_join(F.slice(w, i, n), " "),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
 
     def shingles(frame: DataFrame, keep_id: bool) -> DataFrame:
-        words = word_tokens(F.col(text_col))
-        sh = F.when(
-            F.size(words) >= n,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                    lambda i: F.array_join(F.slice(words, i, n), " "),
-                )
-            ),
-        ).otherwise(F.array().cast("array<string>"))
         cols = [F.col(id_col)] if keep_id else []
-        return frame.select(*cols, F.explode(sh).alias("__sh"))
+        return frame.select(*cols, F.explode(shingle_expr()).alias("__sh"))
 
     bench_set = shingles(benchmark, keep_id=False).distinct()
     doc_sh = shingles(df, keep_id=True)
@@ -262,23 +296,9 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
     )
-    w = word_tokens(F.col(text_col))
     base = df.select(
         F.col(id_col),
-        F.when(
-            F.size(w) >= n,
-            F.size(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                        lambda i: F.array_join(F.slice(w, i, n), " "),
-                    )
-                )
-            ),
-        )
-        .otherwise(0)
-        .cast("long")
-        .alias("n_shingles"),
+        F.size(shingle_expr()).cast("long").alias("n_shingles"),
     )
     return base.join(hits, id_col, "left").select(
         id_col,
