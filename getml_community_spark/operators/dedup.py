@@ -332,11 +332,18 @@ def minhash_lsh_dedup(
     shingle_n: int = 5,
     verify: bool = True,
     max_bucket_size: int | None = 1000,
+    transitive: bool = False,
 ) -> DataFrame:
     """Keep-one near-dedup: drop the higher id of every candidate pair
-    whose Jaccard ≥ threshold (greedy min-id winner — one
+    whose Jaccard ≥ threshold.
+
+    transitive=False (default): greedy min-id winner — one
     connected-component hop, which removes every doc that has a smaller
-    near-duplicate; full transitive closure would need iteration).
+    near-duplicate (in a chain a—b—c with ids a<b<c, c survives even
+    though its only near-dup b was dropped).
+    transitive=True: exact one-survivor-per-connected-component
+    semantics via :func:`..graph.connected_components` (iterative;
+    rounds bounded by the largest dup-cluster's diameter).
 
     verify=True (default) thresholds the EXACT candidate Jaccard
     (LSH-then-verify: deterministic, oracle-checkable vs all-pairs SQL);
@@ -350,11 +357,16 @@ def minhash_lsh_dedup(
         pairs = minhash_lsh_pairs(
             df, text_col, id_col, num_hashes, bands, shingle_n, max_bucket_size
         ).withColumnRenamed("est_jaccard", "__score")
-    losers = (
-        pairs.where(F.col("__score") >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
+    hits = pairs.where(F.col("__score") >= threshold)
+    if transitive:
+        from .graph import connected_components
+
+        comp = connected_components(hits, "id_a", "id_b")
+        losers = comp.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        losers = hits.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 

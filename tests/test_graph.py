@@ -1,0 +1,96 @@
+"""connected_components vs a pure-python union-find oracle, and the
+transitive near-dedup semantics it enables."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from getml_community_spark.operators.graph import connected_components
+
+
+def _union_find(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-root per node
+    return {n: find(n) for n in parent}
+
+
+def test_cc_matches_union_find_random_graph(spark):
+    rng = np.random.default_rng(11)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 200, size=(300, 2))
+        if a != b
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    want = _union_find(edges)
+    # union-find roots are not guaranteed minimal per component — remap
+    # both to the min node of each component before comparing
+    def canon(m):
+        comp_min: dict[int, int] = {}
+        for n, c in m.items():
+            comp_min[c] = min(comp_min.get(c, n), n)
+        return {n: comp_min[c] for n, c in m.items()}
+
+    assert canon(got) == canon(want)
+
+
+def test_cc_chain_needs_iterations(spark):
+    # path graph 0-1-2-...-9: diameter 9, converges to component 0
+    edges = [(i, i + 1) for i in range(9)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = connected_components(df).collect()
+    assert {r["component"] for r in got} == {0}
+    assert len(got) == 10
+
+
+def test_cc_max_iter_raises(spark):
+    edges = [(i, i + 1) for i in range(9)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError):
+        connected_components(df, max_iter=2)
+
+
+def test_transitive_dedup_drops_whole_chain(spark):
+    from getml_community_spark.operators.dedup import minhash_lsh_dedup
+
+    # a strict drift chain: cumulative 4-token blocks at well-separated
+    # offsets, so adjacent chain positions share 0.85 shingle Jaccard
+    # but distance-2 only 0.72 (probed). ids follow content order
+    # 2-1-3-0: node 1's neighbors {2, 3} are both larger, so the
+    # one-hop greedy keeps {0, 1} while the transitive semantics keeps
+    # only the component min {0}.
+    base = [f"tok{i}" for i in range(104)]
+    chain_ids = [2, 1, 3, 0]
+    docs = []
+    for pos, did in enumerate(chain_ids):
+        words = base.copy()
+        for b in range(pos):
+            for j in range(10 + 12 * b, 10 + 12 * b + 4):
+                words[j] = f"alt{j}"
+        docs.append((did, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    greedy = minhash_lsh_dedup(df, "text", "doc_id", threshold=0.8)
+    trans = minhash_lsh_dedup(df, "text", "doc_id", threshold=0.8, transitive=True)
+    g = sorted(r["doc_id"] for r in greedy.select("doc_id").collect())
+    t = sorted(r["doc_id"] for r in trans.select("doc_id").collect())
+    assert g == [0, 1]  # one-hop misses the chain-end
+    assert t == [0]  # one survivor for the whole connected chain
