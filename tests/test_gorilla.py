@@ -179,3 +179,38 @@ def test_batch_encoder_bit_identical_to_scalar():
         t, v = decode_segment(batch[i])
         assert np.array_equal(t, ts_list[i])
         assert np.array_equal(v.view(np.uint64), val_list[i].view(np.uint64))
+
+
+# ---- property-based fuzz (hypothesis) ------------------------------- #
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _pair = st.tuples(
+        st.integers(min_value=0, max_value=2_000_000_000),
+        st.one_of(
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+            st.integers(min_value=-(10**12), max_value=10**12).map(float),
+        ),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(_pair, min_size=0, max_size=300))
+    def test_roundtrip_fuzz(pairs):
+        """decode∘encode == identity bitwise for arbitrary sorted series
+        (NaN payloads, infinities, huge/denormal doubles included), and
+        the batch encoder stays bit-identical to the scalar one."""
+        from getml_community_spark.functions.gorilla import (
+            encode_segments_batch,
+        )
+
+        pairs = sorted(pairs, key=lambda p: p[0])
+        ts = np.array([p[0] for p in pairs], dtype=np.int64)
+        vals = np.array([p[1] for p in pairs], dtype=np.float64)
+        blob = encode_segment(ts, vals)
+        t2, v2 = decode_segment(blob)
+        assert np.array_equal(t2, ts)
+        assert np.array_equal(v2.view(np.uint64), vals.view(np.uint64))
+        assert encode_segments_batch([ts], [vals])[0] == blob
+
+except ImportError:  # pragma: no cover — hypothesis not installed
+    pass
