@@ -1167,6 +1167,32 @@ def q_decontamination(spark, sf):
     return ngram_contamination(corpus, bench, "text", "doc_id", n=5)
 
 
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sampling of documents by source (md5
+    prefix bucket — the engine-portable reproducible-sampling hash),
+    with per-stratum rates and a default; output includes the bucket so
+    the oracle checks the threshold logic, not just membership."""
+    from getml_community_spark.operators.sampling import (
+        sample_bucket,
+        stratified_sample,
+    )
+
+    docs = _load(spark, sf, "documents")
+    out = stratified_sample(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": 0.9, "src1": 0.5, "src2": 0.0},
+        default_rate=0.2,
+        seed="r3",
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        sample_bucket(F.col("doc_id"), "r3").alias("bucket"),
+    )
+
+
 def q_lttb_6h(spark, sf):
     """LTTB perceptual downsampling (fixed-reference variant) to one
     representative point per (user, 6h bucket). Inputs are quantized —
@@ -1308,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_features": q_wav_features,
         "tfidf_topk": q_tfidf_topk,
         "lttb_6h": q_lttb_6h,
+        "stratified_sample": q_stratified_sample,
         "pack_stats": q_pack_stats,
         "gopher_quality": q_gopher_quality,
         "decontamination": q_decontamination,
@@ -1878,6 +1905,26 @@ def oracle_sql() -> dict[str, str]:
                      k -> abs((n_chars*31 + 17*k) % 65536 - 32768)),
                      'max') AS BIGINT) AS peak
             FROM documents
+        """,
+        "stratified_sample": """
+            -- md5-prefix bucket sampling, engine-portable: first 8 hex
+            -- chars of md5(id || seed) parsed to a 32-bit int, mod 1e6
+            WITH b AS (
+              SELECT doc_id, source,
+                     list_reduce(list_transform(range(1, 9),
+                       i -> CAST(strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR) || 'r3'), CAST(i AS INT), 1)) - 1
+                            AS BIGINT)),
+                       (a, x) -> a * 16 + x) % 1000000 AS bucket
+              FROM documents
+            )
+            SELECT doc_id, source, bucket
+            FROM b
+            WHERE bucket < CASE source
+                   WHEN 'src0' THEN 900000
+                   WHEN 'src1' THEN 500000
+                   WHEN 'src2' THEN 0
+                   ELSE 200000 END
         """,
         "lttb_6h": """
             -- LTTB fixed-reference downsampling; quantized inputs make
