@@ -1167,6 +1167,28 @@ def q_decontamination(spark, sf):
     return ngram_contamination(corpus, bench, "text", "doc_id", n=5)
 
 
+def q_anomaly_1h(spark, sf):
+    """Rolling 24-bucket z-score anomaly flags on the hourly event-count
+    tier. cnt is integer, so the explicit Σv/Σv² window sums are exact
+    doubles in both engines and the z-score matches bitwise (after the
+    contract's rounding)."""
+    from getml_community_spark.operators.anomaly import rolling_zscore
+    from getml_community_spark.operators.rollup import rollup_from_raw
+
+    ev = _load(spark, sf, "events")
+    agg = rollup_from_raw(
+        ev, "1h", source_col="user_id", ts_col="ts", value_col="value"
+    ).select("source", "bucket_start", "cnt")
+    out = rolling_zscore(agg, "cnt", window=24, k=3.0)
+    return out.select(
+        F.col("source").cast("long").alias("user_id"),
+        F.col("bucket_start").cast("timestamp").cast("long").alias("bucket_epoch"),
+        F.col("cnt").cast("long").alias("cnt"),
+        _r(F.col("zscore")).alias("zscore"),
+        "is_anomaly",
+    )
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic stratified sampling of documents by source (md5
     prefix bucket — the engine-portable reproducible-sampling hash),
@@ -1334,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_features": q_wav_features,
         "tfidf_topk": q_tfidf_topk,
         "lttb_6h": q_lttb_6h,
+        "anomaly_1h": q_anomaly_1h,
         "stratified_sample": q_stratified_sample,
         "pack_stats": q_pack_stats,
         "gopher_quality": q_gopher_quality,
@@ -1905,6 +1928,37 @@ def oracle_sql() -> dict[str, str]:
                      k -> abs((n_chars*31 + 17*k) % 65536 - 32768)),
                      'max') AS BIGINT) AS peak
             FROM documents
+        """,
+        "anomaly_1h": """
+            -- rolling trailing-24-bucket z-score on the hourly count
+            -- tier; explicit exact Σv/Σv² window sums (integer inputs)
+            WITH agg AS (
+              SELECT user_id, date_trunc('hour', ts) AS b,
+                     count(value) AS cnt
+              FROM events GROUP BY 1, 2
+            ), zs AS (
+              SELECT user_id,
+                     CAST(epoch(b) AS BIGINT) AS bucket_epoch,
+                     CAST(cnt AS BIGINT) AS cnt,
+                     CAST(count(cnt) OVER w AS DOUBLE) AS n,
+                     sum(CAST(cnt AS DOUBLE)) OVER w AS s1,
+                     sum(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)) OVER w AS s2
+              FROM agg
+              WINDOW w AS (PARTITION BY user_id ORDER BY b
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT user_id, bucket_epoch, cnt,
+                   round(CASE WHEN n >= 24
+                              AND (s2/n - (s1/n)*(s1/n)) > 0
+                         THEN (cnt - s1/n)
+                              / sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0))
+                         END, 6) AS zscore,
+                   coalesce(abs(CASE WHEN n >= 24
+                                     AND (s2/n - (s1/n)*(s1/n)) > 0
+                                THEN (cnt - s1/n)
+                                     / sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0))
+                                END) > 3.0, false) AS is_anomaly
+            FROM zs
         """,
         "stratified_sample": """
             -- md5-prefix bucket sampling, engine-portable: first 8 hex
