@@ -49,6 +49,8 @@ HEADLINE = [
     "decontamination",
     "tfidf_topk",
     "lttb_6h",
+    "anomaly_1h",
+    "stratified_sample",
 ]
 
 
