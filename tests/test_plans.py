@@ -206,3 +206,62 @@ def test_aqe_splits_skewed_join_partition(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_sampling_is_shuffle_free_map(spark):
+    from getml_community_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        stratified_sample(docs, "doc_id", "source", {"src0": 0.5}, default_rate=0.1)
+    )
+    assert "Exchange" not in plan, plan  # pure filter — no shuffle
+    assert "Python" not in plan
+
+
+def test_anomaly_single_window_exchange(spark):
+    from getml_community_spark.operators.anomaly import rolling_zscore
+    from getml_community_spark.operators.rollup import rollup_from_raw
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    agg = rollup_from_raw(
+        ev, "1h", source_col="user_id", ts_col="ts", value_col="value"
+    ).select("source", "bucket_start", "cnt")
+    plan = _plan(rolling_zscore(agg, "cnt", window=24))
+    # one shuffle for the tier agg + one for the per-source window
+    assert plan.count("Exchange") == 2, plan
+    assert "Window" in plan
+    assert "Python" not in plan
+
+
+def test_pack_sequences_two_exchanges(spark):
+    import pandas as pd
+
+    from getml_community_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "source": ["a", "a"], "tokens": [[1, 2], [3]]}
+        ),
+        "doc_id long, source string, tokens array<int>",
+    )
+    plan = _plan(pack_sequences(df, 4))
+    # ONE shuffle total: the per-source offset window hashpartitions on
+    # source, and partitioning on a subset of the (source, chunk_id)
+    # group keys already satisfies the assembly's clustering
+    # requirement — explode and groupBy add no further exchange
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan
+
+
+def test_lttb_exchanges_bounded(spark):
+    from getml_community_spark.operators.downsample import lttb_downsample
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("user_id").alias("source"), "ts", "value"
+    )
+    plan = _plan(lttb_downsample(ev, 21600, ts_col="ts"))
+    # bucket-avg agg, neighbor window, scored join, argmax window — the
+    # join side reuses the bucket partitioning, so at most 4 exchanges
+    assert plan.count("Exchange") <= 4, plan
+    assert "Python" not in plan
