@@ -46,6 +46,7 @@ def clean_corpus(
     min_stop_hits: int = 2,
     jaccard_threshold: float = 0.8,
     contamination_ngram: int = 5,
+    transitive: bool = False,
     report: bool = False,
 ) -> tuple[DataFrame, CleanReport]:
     """Run the standard cleaning chain and return (clean_df, report).
@@ -54,6 +55,8 @@ def clean_corpus(
     1. gopher  — Gopher/MassiveText quality rules (keep == true)
     2. exact   — exact dedup on normalized text (keep min id)
     3. near    — MinHash-LSH near-dedup at ``jaccard_threshold``
+                 (``transitive=True`` → one survivor per connected
+                 component instead of the one-hop greedy)
     4. decontam— drop docs sharing any ``contamination_ngram``-gram with
                  ``benchmark`` (skipped when benchmark is None)
     """
@@ -79,7 +82,12 @@ def clean_corpus(
     out = note(
         "near",
         minhash_lsh_dedup(
-            out, text_col, id_col, threshold=jaccard_threshold, verify=True
+            out,
+            text_col,
+            id_col,
+            threshold=jaccard_threshold,
+            verify=True,
+            transitive=transitive,
         ),
     )
 
