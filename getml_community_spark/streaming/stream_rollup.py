@@ -33,6 +33,7 @@ __all__ = [
     "stream_gorilla_segments",
     "stream_corpus_reader",
     "stream_exact_dedup",
+    "stream_anomaly",
 ]
 
 
@@ -172,6 +173,85 @@ def stream_gorilla_segments(
     )
     return prepped.groupBy("source", "day").applyInPandasWithState(
         fn, out_schema, state_schema, "append", "EventTimeTimeout"
+    )
+
+
+def stream_anomaly(
+    tier_stream: DataFrame,
+    value_col: str = "cnt",
+    window: int = 24,
+    k: float = 3.0,
+    source_col: str = "source",
+    ts_col: str = "bucket_start",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming rolling z-score alerts over a tier stream — the
+    continuous form of :func:`..operators.anomaly.rolling_zscore`.
+
+    Stateful (applyInPandasWithState, NoTimeout): state per source is
+    the trailing ``window`` bucket values — a few doubles, regardless
+    of stream length. Each trigger processes the batch's buckets in
+    event-time order, scores each against the trailing deque with the
+    same exact Σv/Σv² arithmetic as the batch operator (pytest asserts
+    flag-for-flag parity on ordered input), then advances the deque.
+    Buckets arriving out of event-time order across triggers score
+    against whatever trailing state existed when they arrived — the
+    watermarked tier stream upstream emits in watermark order, and
+    later corrections belong to the batch re-roll path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{source_col} string, {ts_col} timestamp, value double, "
+        "zscore double, is_anomaly boolean"
+    )
+    state_schema = "vals array<double>"
+    minp = window
+
+    def fn(key, pdfs, state):
+        trail = list(state.get[0]) if state.exists else []
+        frames = [p for p in pdfs]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values("__tsc")
+        vals = pdf["__val"].to_numpy(np.float64)
+        zs = np.full(len(vals), np.nan)
+        flags = np.zeros(len(vals), dtype=bool)
+        for i, v in enumerate(vals):
+            t = np.asarray(trail[-window:], dtype=np.float64)
+            n = len(t)
+            if n >= minp:
+                s1, s2 = t.sum(), (t * t).sum()
+                mu = s1 / n
+                var = max(s2 / n - mu * mu, 0.0)
+                if var > 0:
+                    zs[i] = (v - mu) / np.sqrt(var)
+                    flags[i] = abs(zs[i]) > k
+            trail.append(float(v))
+            trail = trail[-window:]
+        state.update((trail,))
+        yield pd.DataFrame(
+            {
+                source_col: key[0],
+                ts_col: pd.to_datetime(pdf["__tsc"].to_numpy(), unit="s"),
+                "value": vals,
+                "zscore": zs,
+                "is_anomaly": flags,
+            }
+        )
+
+    # __tsc carries the bucket time as a NON-event-time long (a second
+    # timestamp column would inherit the watermark tag and streaming
+    # rejects two event-time columns per stream)
+    prepped = (
+        tier_stream.withWatermark(ts_col, watermark)
+        .withColumn("__tsc", F.col(ts_col).cast("timestamp").cast("long"))
+        .withColumn("__val", F.col(value_col).cast("double"))
+        .select(F.col(source_col).cast("string").alias(source_col), "__tsc", "__val")
+    )
+    return prepped.groupBy(source_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
     )
 
 

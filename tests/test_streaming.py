@@ -202,3 +202,72 @@ def test_stream_exact_dedup_first_occurrence_only(spark, tmp_path):
     # one survivor per distinct normalized text; doc 2 (same batch) and
     # doc 4 (later batch) are duplicates of doc 1's content
     assert sorted(got["doc_id"]) == [1, 3, 5]
+
+
+def test_stream_anomaly_matches_batch(spark, tmp_path):
+    """Streamed rolling z-score flags == batch rolling_zscore on the
+    same tier rows, with state carrying across micro-batches (two files,
+    maxFilesPerTrigger=1 — the window spans the file boundary)."""
+    import numpy as np
+    import pandas as pd
+
+    from getml_community_spark.operators.anomaly import rolling_zscore
+    from getml_community_spark.streaming.stream_rollup import stream_anomaly
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for src in ("a", "b"):
+        vals = rng.integers(40, 60, 30)
+        vals[20] = 400
+        for i, v in enumerate(vals):
+            rows.append(
+                (src, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i), int(v))
+            )
+    pdf = pd.DataFrame(rows, columns=["source", "bucket_start", "cnt"])
+    pdf = pdf.sort_values("bucket_start").reset_index(drop=True)
+
+    import os
+
+    src_dir = str(tmp_path / "tier")
+    os.makedirs(src_dir, exist_ok=True)
+    # split by time so the trailing window crosses the batch boundary
+    cut = pd.Timestamp("2024-01-01") + pd.Timedelta(hours=12)
+    pdf[pdf.bucket_start < cut].to_parquet(
+        os.path.join(src_dir, "a.parquet"), coerce_timestamps="us"
+    )
+    pdf[pdf.bucket_start >= cut].to_parquet(
+        os.path.join(src_dir, "b.parquet"), coerce_timestamps="us"
+    )
+
+    stream = (
+        spark.readStream.schema("source string, bucket_start timestamp, cnt long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream_anomaly(stream, "cnt", window=6, k=3.0)
+        .writeStream.format("memory")
+        .queryName("anomaly_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.sql("SELECT * FROM anomaly_stream")
+        .toPandas()
+        .sort_values(["source", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    want = (
+        rolling_zscore(spark.createDataFrame(pdf), "cnt", window=6, k=3.0)
+        .toPandas()
+        .sort_values(["source", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    assert list(got["is_anomaly"]) == list(want["is_anomaly"])
+    gz = got["zscore"].to_numpy(dtype=float)
+    wz = want["zscore"].to_numpy(dtype=float)
+    assert ((np.isnan(gz) & np.isnan(wz)) | (np.abs(gz - wz) < 1e-9)).all()
+    # the spike is flagged in both sources
+    assert int(got[got.value == 400.0]["is_anomaly"].sum()) == 2
