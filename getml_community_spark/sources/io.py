@@ -20,6 +20,7 @@ __all__ = [
     "read_csv",
     "read_parquet",
     "read_json",
+    "read_orc",
     "read_jdbc",
     "from_pandas",
     "from_dict",
@@ -28,6 +29,7 @@ __all__ = [
     "to_csv",
     "to_parquet",
     "to_json",
+    "to_orc",
     "to_jdbc",
     "to_bucketed_table",
 ]
@@ -66,6 +68,16 @@ def read_parquet(spark: SparkSession, paths: str | list[str]) -> DataFrame:
 def read_json(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     """JSON lines (reference from_json, data_frame.py:1382-1427)."""
     return spark.read.json(paths)
+
+
+def read_orc(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """ORC — the other columnar interchange format warehouses hand over
+    (built into Spark SQL; same predicate/column pushdown as parquet).
+    The reference has no ORC connector; this rounds out the columnar
+    source surface for users migrating Hive-era data."""
+    if isinstance(paths, str):
+        paths = [paths]
+    return spark.read.orc(*paths)
 
 
 def read_jdbc(
@@ -167,6 +179,18 @@ def to_parquet(
 
 def to_json(df: DataFrame, path: str, mode: str = "overwrite"):
     df.write.mode(mode).json(path)
+
+
+def to_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+):
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
 
 
 def to_bucketed_table(

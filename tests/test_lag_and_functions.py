@@ -397,3 +397,30 @@ def test_jdbc_live_roundtrip(spark, tmp_path):
     # append mode adds rows
     to_jdbc(df.limit(5), url, "T1", mode="append", properties=props)
     assert read_jdbc(spark, url, "T1", properties=props).count() == 25
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC source/sink round-trip, including partitioned layout and
+    filter pushdown reaching the ORC scan."""
+    from getml_community_spark.sources.io import read_orc, to_orc
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts", "value", (F.col("user_id") % 4).alias("part")
+    )
+    path = str(tmp_path / "orc")
+    to_orc(ev, path, partition_by=["part"])
+    back = read_orc(spark, path)
+    assert back.count() == ev.count()
+    # every row survives bit-for-bit (multiset equality; an aggregate
+    # SUM would differ in the last ulp after the partitioned reshuffle)
+    cols = ["user_id", "ts", "value", "part"]
+    assert back.select(cols).exceptAll(ev.select(cols)).count() == 0
+    assert ev.select(cols).exceptAll(back.select(cols)).count() == 0
+    # partition pruning + predicate pushdown reach the scan
+    plan = (
+        back.where((F.col("part") == 2) & (F.col("user_id") > 100))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(user_id), GreaterThan(user_id,100)]" in plan, plan
