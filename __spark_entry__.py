@@ -87,8 +87,8 @@ def _with_pop_ts(orders: DataFrame) -> DataFrame:
 
 
 def _hour_bucket(ts_col: str = "ts"):
-    """Hour bucket via epoch-long arithmetic (codegen path; date_trunc is
-    the measured ~9x slower non-codegen path, CLAUDE.md)."""
+    """Hour bucket via epoch-long arithmetic (whole-stage-codegen path;
+    date_trunc runs interpreted in Spark 4.1 — measured ~9x slower)."""
     epoch = F.col(ts_col).cast("timestamp").cast("long")
     return F.timestamp_seconds((F.floor(epoch / 3600) * 3600).cast("long"))
 
@@ -683,7 +683,7 @@ def _battery_full_oracle_sql() -> str:
     )
     return f"""
         SELECT user_id,
-               to_timestamp(floor(epoch(ts) / 3600) * 3600) AS bucket_start,
+               date_trunc('hour', ts) AS bucket_start,
                {cols}
         FROM events GROUP BY 1, 2
     """
@@ -1267,8 +1267,12 @@ def q_minhash_dedup(spark, sf):
     from getml_community_spark.operators.dedup import minhash_lsh_dedup
 
     docs = _load(spark, sf, "documents")
+    # max_bucket_size=None: the DuckDB oracle is UNCAPPED all-pairs
+    # Jaccard — the production cap default (1000) would silently drop
+    # candidates at a larger SF and fail the hash gate.
     return minhash_lsh_dedup(
-        docs, "text", "doc_id", threshold=0.8, verify=True
+        docs, "text", "doc_id", threshold=0.8, verify=True,
+        max_bucket_size=None,
     ).select("doc_id", "source")
 
 
@@ -1284,7 +1288,13 @@ def q_simhash_pairs(spark, sf):
         F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda w: w != ""
     )
     docs = docs.where(F.size(toks) > 0)
-    out = simhash_pairs(docs, "text", "doc_id", max_hamming=3, token_hash="md5_60")
+    # max_bucket_size=None: the oracle is uncapped all-pairs hamming —
+    # the production cap default would break the "output EQUALS
+    # all-pairs" claim at larger SFs.
+    out = simhash_pairs(
+        docs, "text", "doc_id", max_hamming=3, token_hash="md5_60",
+        max_bucket_size=None,
+    )
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )

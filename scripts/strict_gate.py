@@ -58,14 +58,34 @@ def main() -> int:
     n_bad = 0
     for name in names:
         try:
-            got = canon(qs[name](spark, sf).toPandas())
-            want = canon(con.execute(oracles[name]).df())
+            got_raw = qs[name](spark, sf).toPandas()
+            want_raw = con.execute(oracles[name]).df()
+            got = canon(got_raw)
+            want = canon(want_raw)
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ERROR {type(e).__name__}: {e}")
             n_bad += 1
             continue
         status = []
-        if list(got.columns) != list(want.columns):
+        # driver-faithful checks on the RAW frames: column ORDER and
+        # tz-awareness, both of which canon() normalizes away (shipped
+        # red twice: order in r2, TIMESTAMPTZ-vs-naive in r3)
+        got_cols = [c.lower() for c in got_raw.columns]
+        want_cols = [c.lower() for c in want_raw.columns]
+        if got_cols != want_cols:
+            status.append(f"raw column order {got_cols} != {want_cols}")
+        else:
+            for gc, wc in zip(got_raw.columns, want_raw.columns):
+                g_tz = getattr(got_raw[gc].dtype, "tz", None)
+                w_tz = getattr(want_raw[wc].dtype, "tz", None)
+                if (g_tz is None) != (w_tz is None):
+                    status.append(
+                        f"col {gc}: tz-awareness mismatch "
+                        f"spark={g_tz} oracle={w_tz}"
+                    )
+        if status:
+            pass
+        elif list(got.columns) != list(want.columns):
             status.append(f"schema {list(got.columns)} != {list(want.columns)}")
         elif len(got) != len(want):
             status.append(f"rows {len(got)} != {len(want)}")

@@ -65,6 +65,17 @@ def test_query_matches_oracle(spark, ddb, name):
     assert [c.lower() for c in got_raw.columns] == [
         c.lower() for c in want_raw.columns
     ], (name, list(got_raw.columns), list(want_raw.columns))
+    # ... and dtype-sensitive: _canon's tz_localize(None) erases exactly
+    # the TIMESTAMPTZ-vs-naive mismatch the driver catches (round-3
+    # lesson: battery_full_1h shipped red on DuckDB to_timestamp()
+    # returning TIMESTAMP WITH TIME ZONE). Compare tz-awareness on the
+    # RAW frames, before canonicalization.
+    for gc, wc in zip(got_raw.columns, want_raw.columns):
+        g_tz = getattr(got_raw[gc].dtype, "tz", None)
+        w_tz = getattr(want_raw[wc].dtype, "tz", None)
+        assert (g_tz is None) == (w_tz is None), (
+            name, gc, f"tz-awareness mismatch: spark={g_tz} oracle={w_tz}"
+        )
     got = _canon(got_raw)
     want = _canon(want_raw)
     assert len(got) == len(want), (name, len(got), len(want))
