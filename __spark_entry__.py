@@ -1048,6 +1048,52 @@ def q_bmp_decode(spark, sf):
     )
 
 
+def q_png_decode(spark, sf):
+    """REAL *compressed* image decode end-to-end, no external codecs:
+    each document deterministically renders an 8x8 RGB image — pixel
+    (i, k) = (n_chars*7 + 5*i + 29*k) % 256 — through the pure-numpy
+    encode_png with filter_mode='cycle' (rows use PNG filters
+    0,1,2,3,4,0,1,2), and extract_image_features(decoder='png') decodes
+    it BACK through a true PNG parse: chunk walk + CRC verify, zlib
+    inflate, all-five-filter scanline unfilter. The oracle recomputes
+    the channel means from the generating formula; means are x/64
+    rationals (2^6 denominator → exact at 6 decimals, no rounding
+    ties)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from getml_community_spark.operators.multimodal import (
+        encode_png,
+        extract_image_features,
+    )
+
+    @pandas_udf("binary")
+    def _render(seed):  # pd.Series[int] -> pd.Series[bytes]
+        i = np.arange(64, dtype=np.int64)[:, None]
+        k = np.arange(3, dtype=np.int64)[None, :]
+        out = []
+        for s in seed:
+            px = ((int(s) * 7 + 5 * i + 29 * k) % 256).astype(np.uint8)
+            out.append(encode_png(px.reshape(8, 8, 3), filter_mode="cycle"))
+        return pd.Series(out)
+
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("n_chars").cast("long").alias("__seed"),
+    )
+    payloads = docs.select("media_id", _render("__seed").alias("payload"))
+    feats = extract_image_features(payloads, decoder="png")
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.element_at("features", 1).cast("int").alias("width"),
+        F.element_at("features", 2).cast("int").alias("height"),
+        _r(F.element_at("features", 3)).alias("mean_r"),
+        _r(F.element_at("features", 4)).alias("mean_g"),
+        _r(F.element_at("features", 5)).alias("mean_b"),
+    )
+
+
 def q_wav_features(spark, sf):
     """REAL audio decode end-to-end, no external codecs: each document
     deterministically renders 64 PCM16 samples — s_k =
@@ -1363,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "multimodal_features": q_multimodal_features,
         "bmp_decode": q_bmp_decode,
+        "png_decode": q_png_decode,
         "wav_features": q_wav_features,
         "tfidf_topk": q_tfidf_topk,
         "lttb_6h": q_lttb_6h,
@@ -1917,6 +1964,21 @@ def oracle_sql() -> dict[str, str]:
                      i -> CAST((n_chars + 3*i + 37) % 256 AS DOUBLE)), 'avg'), 6) AS mean_g,
                    round(list_aggregate(list_transform(range(0, 64),
                      i -> CAST((n_chars + 3*i + 74) % 256 AS DOUBLE)), 'avg'), 6) AS mean_b
+            FROM documents
+        """,
+        "png_decode": """
+            -- channel means of the deterministically-rendered 8x8 PNG
+            -- (filters cycle 0..4), recomputed from the generating
+            -- formula (the Spark side deflate-encodes + REALLY inflates
+            -- and unfilters the PNG byte stream)
+            SELECT doc_id,
+                   8 AS width, 8 AS height,
+                   round(list_aggregate(list_transform(range(0, 64),
+                     i -> CAST((n_chars*7 + 5*i) % 256 AS DOUBLE)), 'avg'), 6) AS mean_r,
+                   round(list_aggregate(list_transform(range(0, 64),
+                     i -> CAST((n_chars*7 + 5*i + 29) % 256 AS DOUBLE)), 'avg'), 6) AS mean_g,
+                   round(list_aggregate(list_transform(range(0, 64),
+                     i -> CAST((n_chars*7 + 5*i + 58) % 256 AS DOUBLE)), 'avg'), 6) AS mean_b
             FROM documents
         """,
         "wav_features": """
