@@ -40,6 +40,10 @@ def test_cc_matches_union_find_random_graph(spark):
         r["node"]: r["component"]
         for r in connected_components(df).collect()
     }
+    got_label = {
+        r["node"]: r["component"]
+        for r in connected_components(df, algorithm="label").collect()
+    }
     want = _union_find(edges)
     # union-find roots are not guaranteed minimal per component — remap
     # both to the min node of each component before comparing
@@ -50,22 +54,39 @@ def test_cc_matches_union_find_random_graph(spark):
         return {n: comp_min[c] for n, c in m.items()}
 
     assert canon(got) == canon(want)
+    assert canon(got_label) == canon(want)
 
 
 def test_cc_chain_needs_iterations(spark):
     # path graph 0-1-2-...-9: diameter 9, converges to component 0
     edges = [(i, i + 1) for i in range(9)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = connected_components(df).collect()
+    for algo in ("star", "label"):
+        got = connected_components(df, algorithm=algo).collect()
+        assert {r["component"] for r in got} == {0}
+        assert len(got) == 10
+
+
+def test_cc_star_deep_path_log_rounds(spark):
+    """The adversarial case for label propagation: a 1,000-node path
+    (diameter 999). Large-star/small-star must converge in O(log n)
+    rounds — well under the default max_iter=20 — where min-label
+    propagation would need ~1,000 rounds."""
+    edges = [(i, i + 1) for i in range(999)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long").coalesce(4)
+    got = connected_components(df, max_iter=15).collect()
+    assert len(got) == 1000
     assert {r["component"] for r in got} == {0}
-    assert len(got) == 10
+    # label propagation provably cannot do it in 20 rounds
+    with pytest.raises(RuntimeError):
+        connected_components(df, algorithm="label", max_iter=5)
 
 
 def test_cc_max_iter_raises(spark):
     edges = [(i, i + 1) for i in range(9)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     with pytest.raises(RuntimeError):
-        connected_components(df, max_iter=2)
+        connected_components(df, max_iter=2, algorithm="label")
 
 
 def test_transitive_dedup_drops_whole_chain(spark):
