@@ -9,10 +9,13 @@ applied in declaration order).
 
 Scale notes: stages are lazy transformations; with ``report=False``
 (default) the whole clean is ONE Spark job when the result is written.
-``report=True`` adds one count() action per stage — bounded metadata,
-the per-stage numbers a data-quality dashboard wants, at the cost of
-recomputing the upstream chain per stage (cache the input first if the
-scan is expensive).
+``report=True`` localCheckpoints each stage's survivors and counts the
+materialized frame, so the corpus is scanned ONCE and each stage's work
+runs once — the count() actions read the previous stage's cached blocks,
+never the source (pytest-proven via a scan-counting accumulator).
+Tradeoff: localCheckpoint truncates lineage without replication, so an
+executor loss mid-report restarts the job rather than recomputing tasks;
+for multi-hour cluster runs prefer a reliable ``spark.checkpoint`` dir.
 """
 
 from __future__ import annotations
@@ -64,10 +67,14 @@ def clean_corpus(
 
     def note(name: str, frame: DataFrame) -> DataFrame:
         if report:
+            # materialize this stage ONCE: the count() fills the cached
+            # blocks and every downstream stage reads them instead of
+            # recomputing the upstream chain from the source scan
+            frame = frame.localCheckpoint(eager=False)
             rep.stages.append((name, frame.count()))
         return frame
 
-    note("input", df)
+    df = note("input", df)
 
     keep = gopher_quality(
         df, text_col, id_col, min_words=min_words, min_stop_hits=min_stop_hits

@@ -11,6 +11,14 @@ band-bucket join for LSH).
 - simhash:          64-bit weighted-token fingerprint; near-dups differ
                     in few bits
 - ngram_jaccard:    exact n-gram Jaccard for candidate verification
+
+Fault-tolerance note: the eager ``localCheckpoint`` barriers used here
+(and in graph.py) truncate lineage WITHOUT replication — an executor
+loss mid-job restarts the whole job instead of recomputing lost tasks.
+That is the right trade locally and for short jobs; for multi-hour
+cluster runs point ``spark.sparkContext.setCheckpointDir`` at reliable
+storage and swap ``localCheckpoint()`` for ``checkpoint()`` (same
+barrier semantics, replicated blocks).
 """
 
 from __future__ import annotations

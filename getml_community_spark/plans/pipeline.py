@@ -169,12 +169,22 @@ class FastPropPipeline:
     def save(self, path: str) -> None:
         """Serialize the spec AND the fitted state (features, scores,
         pinned categories) to one JSON file — a loaded pipeline
-        transforms/transpiles identically without refitting."""
+        transforms/transpiles identically without refitting. Fitted
+        category values keep their Python TYPES through the round-trip
+        (type-tagged, not stringified): a datetime/Decimal category that
+        silently became a string would compare unequal against the typed
+        column at transform time — exactly the train/serve skew the
+        pinning exists to prevent. Unsupported types fail at save time."""
         import dataclasses
         import json
 
+        d = dataclasses.asdict(self)
+        d["categories_"] = {
+            c: [_tag_category(v) for v in vals]
+            for c, vals in self.categories_.items()
+        }
         with open(path, "w") as f:
-            json.dump(dataclasses.asdict(self), f, indent=1, default=str)
+            json.dump(d, f, indent=1, default=_np_jsonable)
 
     @classmethod
     def load(cls, path: str) -> "FastPropPipeline":
@@ -187,6 +197,10 @@ class FastPropPipeline:
         d["categorical_cols"] = tuple(d["categorical_cols"])
         d["same_units_pairs"] = tuple(tuple(p) for p in d["same_units_pairs"])
         d["scores_"] = [tuple(s) for s in d["scores_"]]
+        d["categories_"] = {
+            c: [_untag_category(v) for v in vals]
+            for c, vals in d.get("categories_", {}).items()
+        }
         return cls(**d)
 
     def _cond_sql(self, cond: str, peripheral: str = "peripheral") -> str:
@@ -218,12 +232,80 @@ class FastPropPipeline:
         raise ValueError(f"unknown condition {cond!r}")
 
 
+def _np_jsonable(o):
+    """json.dump default hook: numpy scalars become their Python
+    equivalents; anything else is a hard error (no silent str())."""
+    import numpy as np
+
+    if isinstance(o, np.integer):
+        return int(o)
+    if isinstance(o, np.floating):
+        return float(o)
+    if isinstance(o, np.bool_):
+        return bool(o)
+    raise TypeError(
+        f"unsupported type {type(o).__name__} in pipeline state; "
+        "add an explicit tag before serializing"
+    )
+
+
+def _tag_category(v):
+    """Type-tagged JSON encoding for one fitted category value. Scalars
+    that JSON represents natively pass through; temporal/decimal values
+    get a {__type__, v} wrapper so load() restores the original type."""
+    import datetime
+    import decimal
+
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is None or isinstance(v, (str, bool, int, float)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return {"__type__": "datetime", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"__type__": "date", "v": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"__type__": "decimal", "v": str(v)}
+    raise TypeError(
+        f"cannot serialize fitted category value of type {type(v).__name__}"
+    )
+
+
+def _untag_category(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, dict) and "__type__" in v:
+        t, raw = v["__type__"], v["v"]
+        if t == "datetime":
+            return datetime.datetime.fromisoformat(raw)
+        if t == "date":
+            return datetime.date.fromisoformat(raw)
+        if t == "decimal":
+            return decimal.Decimal(raw)
+        raise ValueError(f"unknown category type tag {t!r}")
+    return v
+
+
 def _sql_literal(v) -> str:
-    """Render a fitted category value as an ANSI SQL literal."""
+    """Render a fitted category value as an ANSI SQL literal (typed:
+    TIMESTAMP/DATE keywords for temporals so the comparison stays a
+    typed one in both DuckDB and Spark, not a string coercion)."""
+    import datetime
+    import decimal
+
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, float)):
         return repr(v)
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, decimal.Decimal):
+        return str(v)
     return "'" + str(v).replace("'", "''") + "'"

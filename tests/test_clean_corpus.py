@@ -55,3 +55,26 @@ def test_clean_corpus_lazy_without_report(spark, corpus):
     out, rep = clean_corpus(corpus, min_words=20, min_stop_hits=1)
     assert rep.stages == []  # no actions ran
     assert out.count() == 3  # gopher, exact, near each drop one doc
+
+
+def test_clean_corpus_report_scans_input_once(spark, corpus):
+    """report=True must NOT recompute the upstream chain per stage: a
+    scan-counting accumulator on the raw input sees each row exactly
+    once (the input localCheckpoint), no matter how many stage counts
+    run downstream."""
+    import pandas as pd
+
+    scans = spark.sparkContext.accumulator(0)
+    n_rows = corpus.count()
+
+    def counting(batches):
+        for pdf in batches:
+            scans.add(len(pdf))
+            yield pdf
+
+    instrumented = corpus.mapInPandas(counting, corpus.schema)
+    out, rep = clean_corpus(instrumented, min_words=20, min_stop_hits=1, report=True)
+    assert len(rep.stages) == 4  # input + 3 stages all counted
+    assert out.count() == 3
+    # one materializing pass over the source, then cached blocks only
+    assert scans.value == n_rows, f"input scanned {scans.value / n_rows:.1f}x"

@@ -191,3 +191,52 @@ def test_pipeline_save_load_roundtrip(spark, tmp_path):
     a = pipe.transform(orders.limit(20), events).toPandas().set_index("o_orderkey").sort_index()
     b = loaded.transform(orders.limit(20), events).toPandas().set_index("o_orderkey").sort_index()
     assert (a.fillna(-1) == b.fillna(-1)).all().all()
+
+
+def test_pipeline_save_load_keeps_category_types(tmp_path):
+    """Fitted category values survive save/load with their Python TYPES
+    intact (type-tagged JSON, not default=str): a datetime/Decimal
+    category stringified on disk would compare unequal against the typed
+    column at transform time — silent train/serve skew."""
+    import datetime
+    import decimal
+
+    import numpy as np
+
+    from getml_community_spark.plans.pipeline import FastPropPipeline, _sql_literal
+
+    pipe = _pipe()
+    cats = {
+        "c_str": ["BUILDING", "AUTOMOBILE"],
+        "c_ts": [datetime.datetime(2024, 5, 1, 12, 30)],
+        "c_date": [datetime.date(2024, 5, 1)],
+        "c_dec": [decimal.Decimal("12.50")],
+        "c_np": [np.int64(7), np.float64(1.5)],
+        "c_null": [None],
+    }
+    pipe.categories_ = cats
+    pipe.fitted_ = True
+    p = str(tmp_path / "typed.json")
+    pipe.save(p)
+    loaded = FastPropPipeline.load(p)
+    assert loaded.categories_["c_str"] == ["BUILDING", "AUTOMOBILE"]
+    assert loaded.categories_["c_ts"] == [datetime.datetime(2024, 5, 1, 12, 30)]
+    assert isinstance(loaded.categories_["c_ts"][0], datetime.datetime)
+    assert loaded.categories_["c_date"] == [datetime.date(2024, 5, 1)]
+    assert type(loaded.categories_["c_date"][0]) is datetime.date
+    assert loaded.categories_["c_dec"] == [decimal.Decimal("12.50")]
+    assert isinstance(loaded.categories_["c_dec"][0], decimal.Decimal)
+    # numpy scalars land as plain Python numbers (value-faithful)
+    assert loaded.categories_["c_np"] == [7, 1.5]
+    assert loaded.categories_["c_null"] == [None]
+    # temporal literals transpile TYPED, not as bare strings
+    assert _sql_literal(cats["c_ts"][0]) == "TIMESTAMP '2024-05-01 12:30:00'"
+    assert _sql_literal(cats["c_date"][0]) == "DATE '2024-05-01'"
+    assert _sql_literal(cats["c_dec"][0]) == "12.50"
+
+    # unsupported types fail loudly at SAVE time, not silently at serve
+    import pytest
+
+    pipe.categories_ = {"c_bad": [object()]}
+    with pytest.raises(TypeError, match="category value"):
+        pipe.save(str(tmp_path / "bad.json"))
