@@ -1235,6 +1235,33 @@ def q_anomaly_1h(spark, sf):
     )
 
 
+def q_sax_daily(spark, sf):
+    """SAX symbolic words (PAA-8, alphabet-4) for each user's daily raw
+    event series — Lin/Keogh symbolic representation over the tier
+    engine's input. z-scores and PAA means use the IEEE-pure
+    floor(x*1e6+0.5)/1e6 rounding in BOTH engines so letter assignment
+    is reproducible; series order is (ts, value) so duplicate
+    timestamps symbolize deterministically."""
+    from getml_community_spark.operators.sax import sax_symbolize
+
+    ev = _load(spark, sf, "events")
+    out = sax_symbolize(
+        ev,
+        ts_col="ts",
+        value_col="value",
+        key_col="user_id",
+        window_seconds=86400,
+        n_segments=8,
+        alphabet=4,
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        "window_epoch",
+        "n_points",
+        "sax_word",
+    )
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic stratified sampling of documents by source (md5
     prefix bucket — the engine-portable reproducible-sampling hash),
@@ -1414,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "lttb_6h": q_lttb_6h,
         "anomaly_1h": q_anomaly_1h,
+        "sax_daily": q_sax_daily,
         "stratified_sample": q_stratified_sample,
         "pack_stats": q_pack_stats,
         "gopher_quality": q_gopher_quality,
@@ -2031,6 +2059,45 @@ def oracle_sql() -> dict[str, str]:
                                      / sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0))
                                 END) > 3.0, false) AS is_anomaly
             FROM zs
+        """,
+        "sax_daily": """
+            -- SAX words (PAA-8, alphabet-4) per (user, day) raw-value
+            -- series: z-norm with population sigma, equal-count PAA
+            -- segments seg = floor(i*8/n), standard-normal breakpoints.
+            -- z and paa use the IEEE-pure floor(x*1e6+0.5)/1e6 rounding
+            -- on both engines so letters match exactly.
+            WITH ranked AS (
+              SELECT user_id AS key,
+                     CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS window_epoch,
+                     value AS v,
+                     row_number() OVER (PARTITION BY user_id, floor(epoch(ts)/86400)
+                                        ORDER BY ts, value) - 1 AS i,
+                     count(*) OVER w2 AS n,
+                     avg(value) OVER w2 AS mu,
+                     sqrt(var_pop(value) OVER w2) AS sd
+              FROM events
+              WINDOW w2 AS (PARTITION BY user_id, floor(epoch(ts)/86400))
+            ), z AS (
+              SELECT key, window_epoch, n, CAST(floor(i * 8 / n) AS INT) AS seg,
+                     CASE WHEN sd = 0 THEN 0.0
+                          ELSE floor((v - mu)/sd*1e6+0.5)/1e6 END AS z
+              FROM ranked
+            ), paa AS (
+              SELECT key, window_epoch, n, seg,
+                     floor(avg(z)*1e6+0.5)/1e6 AS paa
+              FROM z GROUP BY 1,2,3,4
+            ), lett AS (
+              SELECT key, window_epoch, n, seg,
+                     CASE WHEN paa < -0.6744897501960817 THEN 'a'
+                          WHEN paa < 0.0 THEN 'b'
+                          WHEN paa < 0.6744897501960817 THEN 'c'
+                          ELSE 'd' END AS letter
+              FROM paa
+            )
+            SELECT key AS user_id, window_epoch,
+                   CAST(max(n) AS BIGINT) AS n_points,
+                   string_agg(letter, '' ORDER BY seg) AS sax_word
+            FROM lett GROUP BY 1, 2
         """,
         "stratified_sample": """
             -- md5-prefix bucket sampling, engine-portable: first 8 hex

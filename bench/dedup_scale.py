@@ -7,8 +7,12 @@ scale evidence the 100 TB story needs: the same operators, default
 production caps, on a corpus 10x larger — built by replicating sf0.1
 with a similarity-preserving transform:
 
-- documents: replica r rewrites each word w to "r<r>_<w>" iff
-  xxhash64(r, w) % 10 < 3. The rewrite is a pure function of (r, word),
+- documents: replica r rewrites each word w to "rep<r>x<w>" iff
+  xxhash64(r, w) % 10 < 3 (the prefix is alphanumeric ON PURPOSE: a
+  separator like "_" would tokenize into a constant extra token shared
+  by every rewritten word, which dominates the simhash bit-vote and
+  collapses fingerprints — measured: 525 -> 126k pairs).
+  The rewrite is a pure function of (r, word),
   so WITHIN a replica every shingle-equality relation — hence every
   exact/near-dup pair and its exact Jaccard — is preserved verbatim;
   ACROSS replicas a 5-shingle survives only if all five words are
@@ -56,7 +60,7 @@ def replicate_documents(spark, replicas: int):
                 words,
                 lambda w: F.when(
                     F.pmod(F.xxhash64(F.lit(r), w), F.lit(10)) < 3,
-                    F.concat(F.lit(f"r{r}_"), w),
+                    F.concat(F.lit(f"rep{r}x"), w),
                 ).otherwise(w),
             )
         )
