@@ -1262,6 +1262,40 @@ def q_sax_daily(spark, sf):
     )
 
 
+def q_pii_redact(spark, sf):
+    """PII scan + redaction (emails / IPv4 / SSN-shaped / intl phone)
+    with DETERMINISTICALLY INJECTED PII — both engines build the same
+    augmented text from doc_id, so the oracle exercises the real
+    regex-count and regex-redact paths (dialect-portable patterns, no
+    lookarounds; DuckDB needs the 'g' flag where Spark replaces all by
+    default). The redacted text is compared via md5."""
+    from getml_community_spark.operators.pii import pii_redact, pii_stats
+
+    docs = _load(spark, sf, "documents")
+    inject = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(" call +1-555-0142 now")).otherwise(
+            F.lit("")
+        ),
+    )
+    d2 = docs.select("doc_id", inject.alias("text"))
+    stats = pii_stats(d2)
+    red = pii_redact(d2).select("doc_id", F.md5(F.col("text")).alias("red_md5"))
+    return stats.join(red, "doc_id").select(
+        "doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone", "n_pii_total", "red_md5"
+    )
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic stratified sampling of documents by source (md5
     prefix bucket — the engine-portable reproducible-sampling hash),
@@ -1442,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_6h": q_lttb_6h,
         "anomaly_1h": q_anomaly_1h,
         "sax_daily": q_sax_daily,
+        "pii_redact": q_pii_redact,
         "stratified_sample": q_stratified_sample,
         "pack_stats": q_pack_stats,
         "gopher_quality": q_gopher_quality,
@@ -2098,6 +2133,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n) AS BIGINT) AS n_points,
                    string_agg(letter, '' ORDER BY seg) AS sax_word
             FROM lett GROUP BY 1, 2
+        """,
+        "pii_redact": r"""
+            -- same injected text, same dialect-portable patterns; the
+            -- 'g' flag mirrors Spark's replace-all default
+            WITH inj AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com'
+                          || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.' || CAST((doc_id*7) % 256 AS VARCHAR)
+                          || CASE WHEN doc_id % 3 = 0
+                                  THEN ' ssn 123-45-6789' ELSE '' END
+                          || CASE WHEN doc_id % 2 = 0
+                                  THEN ' call +1-555-0142 now' ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                   len(regexp_extract_all(text,
+                     '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+                   len(regexp_extract_all(text,
+                     '\+\d[\d\- ]{7,14}\d')) AS n_phone,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     + len(regexp_extract_all(text,
+                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                     + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+                     + len(regexp_extract_all(text,
+                         '\+\d[\d\- ]{7,14}\d')) AS n_pii_total,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                       '\+\d[\d\- ]{7,14}\d', '<PHONE>', 'g')) AS red_md5
+            FROM inj
         """,
         "stratified_sample": """
             -- md5-prefix bucket sampling, engine-portable: first 8 hex
