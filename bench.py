@@ -51,6 +51,9 @@ HEADLINE = [
     "lttb_6h",
     "anomaly_1h",
     "stratified_sample",
+    "sax_daily",
+    "pii_redact",
+    "png_decode",
 ]
 
 
