@@ -1262,6 +1262,35 @@ def q_sax_daily(spark, sf):
     )
 
 
+def q_token_budget(spark, sf):
+    """Mixture construction by TOKEN budget ("30k chars of src0, 8k of
+    src1, 5k of anything else, none of src2"): documents taken in
+    deterministic md5-bucket order until the running per-source token
+    sum crosses the budget (crossing doc included). The running sum in
+    the output makes the query ORDER-SENSITIVE: any change to the hash
+    order or the window frame changes cum_chars even if membership
+    survives."""
+    from getml_community_spark.operators.sampling import token_budget_sample
+
+    docs = _load(spark, sf, "documents")
+    out = token_budget_sample(
+        docs,
+        "doc_id",
+        "source",
+        "n_chars",
+        {"src0": 30000, "src1": 8000, "src2": 0},
+        default_budget=5000,
+        seed="mix",
+        audit_cols=True,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("sample_bucket").cast("long").alias("bucket"),
+        F.col("cum_tok").cast("long").alias("cum_chars"),
+    )
+
+
 def q_pii_redact(spark, sf):
     """PII scan + redaction (emails / IPv4 / SSN-shaped / intl phone)
     with DETERMINISTICALLY INJECTED PII — both engines build the same
@@ -1477,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_1h": q_anomaly_1h,
         "sax_daily": q_sax_daily,
         "pii_redact": q_pii_redact,
+        "token_budget_sample": q_token_budget,
         "stratified_sample": q_stratified_sample,
         "pack_stats": q_pack_stats,
         "gopher_quality": q_gopher_quality,
@@ -2133,6 +2163,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n) AS BIGINT) AS n_points,
                    string_agg(letter, '' ORDER BY seg) AS sax_word
             FROM lett GROUP BY 1, 2
+        """,
+        "token_budget_sample": """
+            -- per-source token-budget mixture: md5-bucket order,
+            -- running n_chars sum, keep while the PREVIOUS cumsum is
+            -- under budget (crossing doc included). Windowed sum is
+            -- HUGEINT in DuckDB -> CAST AS BIGINT.
+            WITH b AS (
+              SELECT doc_id, source, n_chars,
+                     list_reduce(list_transform(range(1, 9),
+                       i -> CAST(strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), CAST(i AS INT), 1)) - 1
+                            AS BIGINT)),
+                       (a, x) -> a * 16 + x) % 1000000 AS bucket
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, bucket,
+                     CAST(sum(n_chars) OVER w AS BIGINT) AS cum_chars,
+                     CAST(sum(n_chars) OVER w - n_chars AS BIGINT) AS prev,
+                     CASE source WHEN 'src0' THEN 30000
+                                 WHEN 'src1' THEN 8000
+                                 WHEN 'src2' THEN 0
+                                 ELSE 5000 END AS budget
+              FROM b
+              WINDOW w AS (PARTITION BY source ORDER BY bucket, doc_id)
+            )
+            SELECT doc_id, source, bucket, cum_chars
+            FROM c WHERE prev < budget AND budget > 0
         """,
         "pii_redact": r"""
             -- same injected text, same dialect-portable patterns; the

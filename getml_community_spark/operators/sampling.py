@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["hash_sample", "stratified_sample"]
+__all__ = ["hash_sample", "stratified_sample", "token_budget_sample"]
 
 _M = 1_000_000
 
@@ -63,3 +63,60 @@ def stratified_sample(
     for s, r in sorted(rates.items()):
         thresh = F.when(F.col(strata_col) == s, int(r * _M)).otherwise(thresh)
     return df.where(sample_bucket(F.col(id_col), seed) < thresh)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    seed: str = "",
+    audit_cols: bool = False,
+) -> DataFrame:
+    """Mixture construction by TOKEN budget instead of row rate: for each
+    stratum, take documents in deterministic ``sample_bucket`` order
+    (ties broken by id) until the stratum's cumulative token count
+    reaches its budget — the last document that crosses the budget is
+    still included, so every stratum with a positive budget and any data
+    contributes at least one document.
+
+    This is how pre-training mixtures are actually specified ("30B
+    tokens of code, 10B of news"): a per-source ROW rate over-samples
+    sources with long documents; budgeting the running token sum hits
+    the target directly, reproducibly (same hash order every run).
+
+    Scale shape: one shuffle (window partitioned by stratum, ordered by
+    bucket) carrying (id, stratum, n_tok) only via the window's
+    projection; the running sum is streaming window state — no
+    collect, no per-stratum driver loop. Skewed strata parallelize
+    across their window partition like any other windowed op; for a
+    stratum holding most of the corpus, pre-filter with
+    :func:`stratified_sample` at a generous rate first to cut the
+    window's input.
+    """
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for stratum {s!r} must be >= 0")
+    from pyspark.sql import Window
+
+    budget: Column = F.lit(int(default_budget))
+    for s, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == s, F.lit(int(b))).otherwise(budget)
+    bucket = sample_bucket(F.col(id_col), seed)
+    w = Window.partitionBy(strata_col).orderBy(bucket, F.col(id_col))
+    running = F.sum(F.col(token_col).cast("long")).over(w)
+    prev = running - F.col(token_col).cast("long")
+    # keep while the PREVIOUS cumulative sum is under budget: the
+    # crossing document is included, everything after it drops
+    out = (
+        df.withColumn("sample_bucket", bucket)
+        .withColumn("cum_tok", running)
+        .withColumn("__prev_tok", prev)
+        .where((F.col("__prev_tok") < budget) & (budget > 0))
+        .drop("__prev_tok")
+    )
+    # audit_cols keeps (sample_bucket, cum_tok) for reproducibility
+    # audits and the oracle gate
+    return out if audit_cols else out.drop("sample_bucket", "cum_tok")

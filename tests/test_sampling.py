@@ -54,3 +54,53 @@ def test_bad_rates_raise(spark, ids):
         hash_sample(ids, "id", 1.5)
     with pytest.raises(ValueError):
         stratified_sample(ids, "id", "stratum", {"0": -0.1})
+
+
+@pytest.fixture(scope="module")
+def toked(spark, ids):
+    return ids.withColumn("n_tok", (F.col("id") % 97 + 3).cast("long"))
+
+
+def test_token_budget_semantics(spark, toked):
+    from getml_community_spark.operators.sampling import (
+        sample_bucket,
+        token_budget_sample,
+    )
+
+    out = token_budget_sample(
+        toked, "id", "stratum", "n_tok",
+        {"0": 5000, "1": 300, "2": 0}, default_budget=1000, seed="b",
+        audit_cols=True,
+    ).toPandas()
+    by = dict(tuple(out.groupby("stratum")))
+    assert "2" not in by  # zero budget → empty stratum
+    for s, budget in [("0", 5000), ("1", 300), ("3", 1000)]:
+        g = by[s].sort_values("cum_tok")
+        # every kept doc but the last starts under budget; the crossing
+        # doc is included, so the final cumsum is >= budget
+        assert (g["cum_tok"].iloc[:-1] < budget + g["n_tok"].iloc[:-1].max()).all()
+        assert g["cum_tok"].iloc[-1] >= budget
+        assert (g["cum_tok"] - g["n_tok"] < budget).all()
+    # determinism: same call → same membership and same cumsums
+    again = token_budget_sample(
+        toked, "id", "stratum", "n_tok",
+        {"0": 5000, "1": 300, "2": 0}, default_budget=1000, seed="b",
+        audit_cols=True,
+    ).toPandas()
+    a = out.sort_values("id").reset_index(drop=True)
+    b = again.sort_values("id").reset_index(drop=True)
+    assert (a["id"] == b["id"]).all() and (a["cum_tok"] == b["cum_tok"]).all()
+    # audit_cols=False drops the audit columns but keeps membership
+    slim = token_budget_sample(
+        toked, "id", "stratum", "n_tok",
+        {"0": 5000, "1": 300, "2": 0}, default_budget=1000, seed="b",
+    )
+    assert "cum_tok" not in slim.columns
+    assert slim.count() == len(out)
+
+
+def test_token_budget_negative_raises(spark, toked):
+    from getml_community_spark.operators.sampling import token_budget_sample
+
+    with pytest.raises(ValueError):
+        token_budget_sample(toked, "id", "stratum", "n_tok", {"0": -5})
