@@ -1262,6 +1262,40 @@ def q_sax_daily(spark, sf):
     )
 
 
+def q_seasonal_decompose(spark, sf):
+    """Classical additive decomposition (2x24 centered MA trend,
+    centered per-phase seasonal, residual) of the gap-filled hourly
+    count tier — the rollup -> gapfill -> decompose composition. Trend
+    quotients come from integer window sums (bit-identical across
+    engines); seasonal/resid round with the IEEE-pure floor idiom."""
+    from getml_community_spark.operators.decompose import seasonal_decompose
+    from getml_community_spark.operators.gapfill import gapfill
+    from getml_community_spark.operators.rollup import rollup_from_raw
+
+    ev = _load(spark, sf, "events")
+    agg = rollup_from_raw(
+        ev, "1h", source_col="user_id", ts_col="ts", value_col="value"
+    )
+    dense = gapfill(agg, 3600).select("source", "bucket_start", "cnt")
+    out = seasonal_decompose(
+        dense,
+        ts_col="bucket_start",
+        value_col="cnt",
+        key_col="source",
+        period=24,
+        bucket_seconds=3600,
+    )
+    f6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return out.select(
+        F.col("key").cast("long").alias("user_id"),
+        "bucket_epoch",
+        F.col("value").cast("long").alias("cnt"),
+        f6(F.col("trend")).alias("trend"),
+        f6(F.col("seasonal")).alias("seasonal"),
+        f6(F.col("resid")).alias("resid"),
+    )
+
+
 def q_token_budget(spark, sf):
     """Mixture construction by TOKEN budget ("30k chars of src0, 8k of
     src1, 5k of anything else, none of src2"): documents taken in
@@ -1507,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_daily": q_sax_daily,
         "pii_redact": q_pii_redact,
         "token_budget_sample": q_token_budget,
+        "seasonal_decompose": q_seasonal_decompose,
         "stratified_sample": q_stratified_sample,
         "pack_stats": q_pack_stats,
         "gopher_quality": q_gopher_quality,
@@ -2163,6 +2198,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n) AS BIGINT) AS n_points,
                    string_agg(letter, '' ORDER BY seg) AS sax_word
             FROM lett GROUP BY 1, 2
+        """,
+        "seasonal_decompose": """
+            -- gap-filled hourly cnt tier (same spine as gapfill_1h),
+            -- then the classical additive decomposition: 2x24 centered
+            -- MA trend from integer window sums, centered per-phase
+            -- seasonal means, residual. floor(x*1e6+0.5)/1e6 rounding.
+            WITH agg AS (
+              SELECT user_id, date_trunc('hour', ts) AS b,
+                     count(value) AS cnt
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT user_id, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1
+            ), spine AS (
+              SELECT user_id,
+                     unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+              FROM bounds
+            ), dense AS (
+              SELECT s.user_id,
+                     CAST(epoch(s.b) AS BIGINT) AS bucket_epoch,
+                     coalesce(a.cnt, 0) AS cnt
+              FROM spine s LEFT JOIN agg a
+                ON a.user_id = s.user_id AND a.b = s.b
+            ), t AS (
+              SELECT user_id, bucket_epoch, cnt,
+                     CASE WHEN count(*) OVER w1 = 24 AND count(*) OVER w2 = 24
+                          THEN CAST(sum(cnt) OVER w1 + sum(cnt) OVER w2 AS BIGINT)
+                     END AS num,
+                     CAST(floor(bucket_epoch / 3600) AS BIGINT) % 24 AS phase
+              FROM dense
+              WINDOW w1 AS (PARTITION BY user_id ORDER BY bucket_epoch
+                            ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+                     w2 AS (PARTITION BY user_id ORDER BY bucket_epoch
+                            ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+            ), pm AS (
+              -- phase mean from INTEGER sums (order-independent), then
+              -- micro-unit quantization — mirrors the engine exactly
+              SELECT user_id, phase,
+                     CASE WHEN count(num) > 0 THEN
+                       CAST(floor(
+                         CAST(48*sum(CASE WHEN num IS NOT NULL THEN cnt END)
+                              - sum(num) AS BIGINT)
+                         / (48.0 * count(num)) * 1e6 + 0.5) AS BIGINT)
+                     END AS s_u
+              FROM t GROUP BY 1, 2
+            ), km AS (
+              SELECT user_id, CAST(sum(s_u) AS BIGINT) AS S,
+                     count(s_u) AS P
+              FROM pm GROUP BY 1
+            ), sea AS (
+              SELECT pm.user_id, pm.phase,
+                     (s_u - S * 1.0 / P) / 1e6 AS seasonal
+              FROM pm JOIN km ON pm.user_id = km.user_id
+            )
+            SELECT t.user_id, t.bucket_epoch, CAST(t.cnt AS BIGINT) AS cnt,
+                   floor(t.num / 48.0 * 1e6 + 0.5)/1e6 AS trend,
+                   floor(sea.seasonal * 1e6 + 0.5)/1e6 AS seasonal,
+                   floor((t.cnt - t.num / 48.0 - sea.seasonal) * 1e6 + 0.5)/1e6
+                     AS resid
+            FROM t JOIN sea
+              ON t.user_id = sea.user_id AND t.phase = sea.phase
         """,
         "token_budget_sample": """
             -- per-source token-budget mixture: md5-bucket order,
