@@ -54,6 +54,8 @@ HEADLINE = [
     "sax_daily",
     "pii_redact",
     "png_decode",
+    "seasonal_decompose",
+    "token_budget_sample",
 ]
 
 

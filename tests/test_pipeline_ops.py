@@ -433,6 +433,35 @@ def test_png_decode_query_contract(spark):
     assert (pdf["width"] == 8).all() and (pdf["height"] == 8).all()
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        mode=st.sampled_from(["none", "cycle"]),
+    )
+    def test_png_roundtrip_fuzz(h, w, seed, mode):
+        """decode∘encode == identity pixel-exact for arbitrary shapes,
+        contents and filter strategies (every unfilter path fuzzed)."""
+        import numpy as np
+
+        from getml_community_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        px = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+        back = decode_png(encode_png(px, filter_mode=mode))
+        assert back.shape == (h, w, 3) and (back == px).all()
+except ImportError:  # pragma: no cover — hypothesis not installed
+    pass
+
+
 def test_wav_codec_roundtrip_and_features(spark):
     """PCM16 WAV encode -> decode is sample-exact; extract_audio_features
     computes real stats of the decoded samples through mapInPandas."""
