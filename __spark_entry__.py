@@ -1296,6 +1296,46 @@ def q_seasonal_decompose(spark, sf):
     )
 
 
+def q_deseasonal_anomaly(spark, sf):
+    """THE timeseries composition: rollup → gapfill → seasonal
+    decomposition → rolling z-score on the RESIDUAL. A z-score on raw
+    counts pages on every rush hour; on residuals it flags only genuine
+    surprises. Residuals are quantized to exact milli-unit integers
+    before the z-window so the Σv/Σv² sums are order-independent
+    (bit-stable cross-engine); the z-score is scale-invariant, so
+    quantization only snaps the baseline, not the semantics."""
+    from getml_community_spark.operators.anomaly import rolling_zscore
+    from getml_community_spark.operators.decompose import seasonal_decompose
+    from getml_community_spark.operators.gapfill import gapfill
+    from getml_community_spark.operators.rollup import rollup_from_raw
+
+    ev = _load(spark, sf, "events")
+    agg = rollup_from_raw(
+        ev, "1h", source_col="user_id", ts_col="ts", value_col="value"
+    )
+    dense = gapfill(agg, 3600).select("source", "bucket_start", "cnt")
+    dec = seasonal_decompose(
+        dense, ts_col="bucket_start", value_col="cnt", key_col="source",
+        period=24, bucket_seconds=3600,
+    )
+    base = dec.select(
+        F.col("key").alias("source"),
+        F.timestamp_seconds("bucket_epoch").alias("bucket_start"),
+        F.floor(F.col("resid") * F.lit(1e3) + F.lit(0.5))
+        .cast("long")
+        .alias("resid_m"),
+    )
+    out = rolling_zscore(base, "resid_m", window=24, k=3.0)
+    f6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return out.select(
+        F.col("source").cast("long").alias("user_id"),
+        F.col("bucket_start").cast("timestamp").cast("long").alias("bucket_epoch"),
+        "resid_m",
+        f6(F.col("zscore")).alias("zscore"),
+        "is_anomaly",
+    )
+
+
 def q_token_budget(spark, sf):
     """Mixture construction by TOKEN budget ("30k chars of src0, 8k of
     src1, 5k of anything else, none of src2"): documents taken in
@@ -1542,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "token_budget_sample": q_token_budget,
         "seasonal_decompose": q_seasonal_decompose,
+        "deseasonal_anomaly": q_deseasonal_anomaly,
         "stratified_sample": q_stratified_sample,
         "pack_stats": q_pack_stats,
         "gopher_quality": q_gopher_quality,
@@ -2258,6 +2299,83 @@ def oracle_sql() -> dict[str, str]:
                      AS resid
             FROM t JOIN sea
               ON t.user_id = sea.user_id AND t.phase = sea.phase
+        """,
+        "deseasonal_anomaly": """
+            -- decompose chain (same as seasonal_decompose), residual
+            -- quantized to milli-unit INTEGERS, then the trailing-24
+            -- z-score with exact Σv/Σv² integer window sums
+            WITH agg AS (
+              SELECT user_id, date_trunc('hour', ts) AS b,
+                     count(value) AS cnt
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT user_id, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1
+            ), spine AS (
+              SELECT user_id,
+                     unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+              FROM bounds
+            ), dense AS (
+              SELECT s.user_id,
+                     CAST(epoch(s.b) AS BIGINT) AS bucket_epoch,
+                     coalesce(a.cnt, 0) AS cnt
+              FROM spine s LEFT JOIN agg a
+                ON a.user_id = s.user_id AND a.b = s.b
+            ), t AS (
+              SELECT user_id, bucket_epoch, cnt,
+                     CASE WHEN count(*) OVER w1 = 24 AND count(*) OVER w2 = 24
+                          THEN CAST(sum(cnt) OVER w1 + sum(cnt) OVER w2 AS BIGINT)
+                     END AS num,
+                     CAST(floor(bucket_epoch / 3600) AS BIGINT) % 24 AS phase
+              FROM dense
+              WINDOW w1 AS (PARTITION BY user_id ORDER BY bucket_epoch
+                            ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+                     w2 AS (PARTITION BY user_id ORDER BY bucket_epoch
+                            ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+            ), pm AS (
+              SELECT user_id, phase,
+                     CASE WHEN count(num) > 0 THEN
+                       CAST(floor(
+                         CAST(48*sum(CASE WHEN num IS NOT NULL THEN cnt END)
+                              - sum(num) AS BIGINT)
+                         / (48.0 * count(num)) * 1e6 + 0.5) AS BIGINT)
+                     END AS s_u
+              FROM t GROUP BY 1, 2
+            ), km AS (
+              SELECT user_id, CAST(sum(s_u) AS BIGINT) AS S,
+                     count(s_u) AS P
+              FROM pm GROUP BY 1
+            ), sea AS (
+              SELECT pm.user_id, pm.phase,
+                     (s_u - S * 1.0 / P) / 1e6 AS seasonal
+              FROM pm JOIN km ON pm.user_id = km.user_id
+            ), r AS (
+              SELECT t.user_id, t.bucket_epoch,
+                     CAST(floor((t.cnt - t.num / 48.0 - sea.seasonal) * 1e3
+                                + 0.5) AS BIGINT) AS resid_m
+              FROM t JOIN sea
+                ON t.user_id = sea.user_id AND t.phase = sea.phase
+            ), zs AS (
+              SELECT user_id, bucket_epoch, resid_m,
+                     CAST(count(resid_m) OVER w AS DOUBLE) AS n,
+                     sum(CAST(resid_m AS DOUBLE)) OVER w AS s1,
+                     sum(CAST(resid_m AS DOUBLE) * CAST(resid_m AS DOUBLE))
+                       OVER w AS s2
+              FROM r
+              WINDOW w AS (PARTITION BY user_id ORDER BY bucket_epoch
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT user_id, bucket_epoch, resid_m,
+                   floor(CASE WHEN n >= 24
+                              AND (s2/n - (s1/n)*(s1/n)) > 0
+                         THEN (resid_m - s1/n)
+                              / sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0))
+                         END * 1e6 + 0.5) / 1e6 AS zscore,
+                   coalesce(abs(CASE WHEN n >= 24
+                                     AND (s2/n - (s1/n)*(s1/n)) > 0
+                                THEN (resid_m - s1/n)
+                                     / sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0))
+                                END) > 3.0, false) AS is_anomaly
+            FROM zs
         """,
         "token_budget_sample": """
             -- per-source token-budget mixture: md5-bucket order,
