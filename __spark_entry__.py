@@ -1392,10 +1392,28 @@ def q_pii_redact(spark, sf):
         ),
     )
     d2 = docs.select("doc_id", inject.alias("text"))
-    stats = pii_stats(d2)
-    red = pii_redact(d2).select("doc_id", F.md5(F.col("text")).alias("red_md5"))
-    return stats.join(red, "doc_id").select(
-        "doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone", "n_pii_total", "red_md5"
+    # counts and redaction are both pure maps — ONE projection, one
+    # scan, no join (the stats⋈redact join costs a second scan)
+    from getml_community_spark.operators.pii import PII_PATTERNS
+
+    counts = {
+        name: F.size(F.regexp_extract_all(F.col("text"), F.lit(rx), F.lit(0)))
+        for name, (rx, _) in PII_PATTERNS.items()
+    }
+    red = F.col("text")
+    for _, (rx, token) in PII_PATTERNS.items():
+        red = F.regexp_replace(red, rx, token)
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return d2.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["ssn"].alias("n_ssn"),
+        counts["phone"].alias("n_phone"),
+        total.alias("n_pii_total"),
+        F.md5(red).alias("red_md5"),
     )
 
 

@@ -86,6 +86,12 @@ def seasonal_decompose(
             "phase"
         ),
     )
+    # t feeds three branches (phase means, key means, final join) that
+    # share no subtree — without a barrier the whole upstream chain
+    # (scan → rollup → gapfill → MA windows) recomputes once per branch
+    # (measured: 6 scans of the source). Materialize once; lazily, so
+    # report-less pipelines stay one job until first action.
+    t = t.localCheckpoint(eager=False)
     # phase mean of (v - num/q) from order-independent sums:
     # (q·Σv − Σnum) / (q·n), over rows where the trend exists; then
     # micro-unit quantization so centering stays integer-exact

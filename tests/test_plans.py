@@ -265,3 +265,50 @@ def test_lttb_exchanges_bounded(spark):
     # join side reuses the bucket partitioning, so at most 4 exchanges
     assert plan.count("Exchange") <= 4, plan
     assert "Python" not in plan
+
+
+def test_sax_single_exchange(spark):
+    from getml_community_spark.operators.sax import sax_symbolize
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(sax_symbolize(ev))
+    # the stats/rank window hashpartitions on (key, window_epoch); the
+    # segment groupBy and word-assembly groupBy extend those keys, so
+    # the planner reuses the partitioning: ONE shuffle total
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan
+
+
+def test_token_budget_single_exchange(spark):
+    from getml_community_spark.operators.sampling import token_budget_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        token_budget_sample(
+            docs, "doc_id", "source", "n_chars", {"src0": 1000}
+        )
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan
+
+
+def test_decompose_materializes_input_once(spark):
+    from getml_community_spark.operators.decompose import seasonal_decompose
+    from getml_community_spark.operators.gapfill import gapfill
+    from getml_community_spark.operators.rollup import rollup_from_raw
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    agg = rollup_from_raw(
+        ev, "1h", source_col="user_id", ts_col="ts", value_col="value"
+    )
+    dense = gapfill(agg, 3600).select("source", "bucket_start", "cnt")
+    plan = _plan(seasonal_decompose(dense))
+    # the MA/phase frame is localCheckpointed: its three consumers read
+    # cached blocks, so the SOURCE SCAN appears zero times in the final
+    # plan (without the barrier it recomputed the rollup+gapfill chain
+    # once per branch — measured 6 scans)
+    assert "Scan parquet" not in plan, plan
+    # hash shuffles only move the tiny (key, phase) aggregates; the
+    # phase/key mean frames broadcast back (2 BroadcastExchange)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "Python" not in plan
