@@ -1296,6 +1296,31 @@ def q_seasonal_decompose(spark, sf):
     )
 
 
+def q_cusum_1h(spark, sf):
+    """CUSUM change-point statistics (Page 1954) on the hourly count
+    tier: accumulates sustained drifts a per-bucket z-score misses.
+    Non-recursive prefix-sum formulation (running sum minus its running
+    extremum); all accumulation in exact micro-unit integers, so s_pos/
+    s_neg/alarm are bit-identical across engines."""
+    from getml_community_spark.operators.changepoint import cusum
+    from getml_community_spark.operators.rollup import rollup_from_raw
+
+    ev = _load(spark, sf, "events")
+    agg = rollup_from_raw(
+        ev, "1h", source_col="user_id", ts_col="ts", value_col="value"
+    ).select("source", "bucket_start", "cnt")
+    out = cusum(agg, "cnt", key_col="source", ts_col="bucket_start",
+                k=0.5, h=8.0)
+    return out.select(
+        F.col("key").cast("long").alias("user_id"),
+        "bucket_epoch",
+        F.col("value").cast("long").alias("cnt"),
+        "s_pos",
+        "s_neg",
+        "alarm",
+    )
+
+
 def q_deseasonal_anomaly(spark, sf):
     """THE timeseries composition: rollup → gapfill → seasonal
     decomposition → rolling z-score on the RESIDUAL. A z-score on raw
@@ -1601,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget,
         "seasonal_decompose": q_seasonal_decompose,
         "deseasonal_anomaly": q_deseasonal_anomaly,
+        "cusum_1h": q_cusum_1h,
         "stratified_sample": q_stratified_sample,
         "pack_stats": q_pack_stats,
         "gopher_quality": q_gopher_quality,
@@ -2317,6 +2343,50 @@ def oracle_sql() -> dict[str, str]:
                      AS resid
             FROM t JOIN sea
               ON t.user_id = sea.user_id AND t.phase = sea.phase
+        """,
+        "cusum_1h": """
+            -- CUSUM via prefix sums in micro-unit integers: cum minus
+            -- its running extremum (empty prefix = 0 included), exact
+            -- long arithmetic end-to-end
+            WITH agg AS (
+              SELECT user_id, date_trunc('hour', ts) AS b,
+                     count(value) AS cnt
+              FROM events GROUP BY 1, 2
+            ), base AS (
+              SELECT user_id, CAST(epoch(b) AS BIGINT) AS bucket_epoch,
+                     CAST(cnt AS BIGINT) AS cnt,
+                     CAST(cnt * 1000000 AS BIGINT) AS v_u
+              FROM agg
+            ), mu AS (
+              SELECT user_id,
+                     CAST(floor(sum(v_u) / (1.0 * count(*)) + 0.5) AS BIGINT)
+                       AS mu_u
+              FROM base GROUP BY 1
+            ), d AS (
+              SELECT b.user_id, bucket_epoch, cnt,
+                     v_u - mu_u - 500000 AS d_pos,
+                     v_u - mu_u + 500000 AS d_neg
+              FROM base b JOIN mu ON b.user_id = mu.user_id
+            ), c AS (
+              SELECT user_id, bucket_epoch, cnt,
+                     CAST(sum(d_pos) OVER w AS BIGINT) AS cp,
+                     CAST(sum(d_neg) OVER w AS BIGINT) AS cn
+              FROM d
+              WINDOW w AS (PARTITION BY user_id ORDER BY bucket_epoch
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), s AS (
+              SELECT user_id, bucket_epoch, cnt,
+                     cp - least(CAST(min(cp) OVER w AS BIGINT), 0) AS sp_u,
+                     greatest(CAST(max(cn) OVER w AS BIGINT), 0) - cn AS sn_u
+              FROM c
+              WINDOW w AS (PARTITION BY user_id ORDER BY bucket_epoch
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT user_id, bucket_epoch, cnt,
+                   sp_u / 1000000.0 AS s_pos,
+                   sn_u / 1000000.0 AS s_neg,
+                   (sp_u > 8000000 OR sn_u > 8000000) AS alarm
+            FROM s
         """,
         "deseasonal_anomaly": """
             -- decompose chain (same as seasonal_decompose), residual
