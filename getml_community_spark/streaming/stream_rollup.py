@@ -34,6 +34,7 @@ __all__ = [
     "stream_corpus_reader",
     "stream_exact_dedup",
     "stream_anomaly",
+    "stream_cusum",
 ]
 
 
@@ -244,6 +245,75 @@ def stream_anomaly(
     # __tsc carries the bucket time as a NON-event-time long (a second
     # timestamp column would inherit the watermark tag and streaming
     # rejects two event-time columns per stream)
+    prepped = (
+        tier_stream.withWatermark(ts_col, watermark)
+        .withColumn("__tsc", F.col(ts_col).cast("timestamp").cast("long"))
+        .withColumn("__val", F.col(value_col).cast("double"))
+        .select(F.col(source_col).cast("string").alias(source_col), "__tsc", "__val")
+    )
+    return prepped.groupBy(source_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
+def stream_cusum(
+    tier_stream: DataFrame,
+    value_col: str = "cnt",
+    target: float = 0.0,
+    k: float = 0.5,
+    h: float = 5.0,
+    source_col: str = "source",
+    ts_col: str = "bucket_start",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming CUSUM change-point alerts — the continuous form of
+    :func:`..operators.changepoint.cusum` in ``target`` mode (streams
+    have no global series mean; monitor against a known reference, the
+    usual production deployment of CUSUM).
+
+    State per source is exactly TWO integers (the s⁺/s⁻ micro-unit
+    accumulators) regardless of stream length — CUSUM's recursion is
+    the textbook fit for ``applyInPandasWithState``. Arithmetic matches
+    the batch operator's micro-unit longs, so alarms are identical to a
+    batch run over the same ordered buckets (pytest-asserted)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{source_col} string, {ts_col} timestamp, value double, "
+        "s_pos double, s_neg double, alarm boolean"
+    )
+    state_schema = "sp long, sn long"
+    mu_u = int(round(target * 1e6))
+    k_u = int(round(k * 1e6))
+    h_u = int(round(h * 1e6))
+
+    def fn(key, pdfs, state):
+        sp, sn = (state.get if state.exists else (0, 0))
+        frames = [p for p in pdfs]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values("__tsc")
+        vals = pdf["__val"].to_numpy(np.float64)
+        v_u = np.floor(vals * 1e6 + 0.5).astype(np.int64)
+        sps = np.empty(len(v_u), dtype=np.int64)
+        sns = np.empty(len(v_u), dtype=np.int64)
+        for i, x in enumerate(v_u):
+            sp = max(0, sp + int(x) - mu_u - k_u)
+            sn = max(0, sn - (int(x) - mu_u + k_u))
+            sps[i], sns[i] = sp, sn
+        state.update((int(sp), int(sn)))
+        yield pd.DataFrame(
+            {
+                source_col: key[0],
+                ts_col: pd.to_datetime(pdf["__tsc"].to_numpy(), unit="s"),
+                "value": vals,
+                "s_pos": sps / 1e6,
+                "s_neg": sns / 1e6,
+                "alarm": (sps > h_u) | (sns > h_u),
+            }
+        )
+
     prepped = (
         tier_stream.withWatermark(ts_col, watermark)
         .withColumn("__tsc", F.col(ts_col).cast("timestamp").cast("long"))

@@ -271,3 +271,74 @@ def test_stream_anomaly_matches_batch(spark, tmp_path):
     assert ((np.isnan(gz) & np.isnan(wz)) | (np.abs(gz - wz) < 1e-9)).all()
     # the spike is flagged in both sources
     assert int(got[got.value == 400.0]["is_anomaly"].sum()) == 2
+
+
+def test_stream_cusum_matches_batch(spark, tmp_path):
+    """Streamed CUSUM alarms == batch cusum(target=...) on the same
+    tier rows, with the two-integer state carrying across micro-batches
+    (two files, maxFilesPerTrigger=1 — the accumulators span the file
+    boundary mid-drift)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from getml_community_spark.operators.changepoint import cusum
+    from getml_community_spark.streaming.stream_rollup import stream_cusum
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for src in ("a", "b"):
+        vals = rng.normal(50, 3, 30)
+        vals[15:] += 4 if src == "a" else -4  # creep in both directions
+        for i, v in enumerate(vals):
+            rows.append(
+                (src, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i), float(v))
+            )
+    pdf = pd.DataFrame(rows, columns=["source", "bucket_start", "cnt"])
+    pdf = pdf.sort_values("bucket_start").reset_index(drop=True)
+
+    src_dir = str(tmp_path / "tier")
+    os.makedirs(src_dir, exist_ok=True)
+    cut = pd.Timestamp("2024-01-01") + pd.Timedelta(hours=18)
+    pdf[pdf.bucket_start < cut].to_parquet(
+        os.path.join(src_dir, "a.parquet"), coerce_timestamps="us"
+    )
+    pdf[pdf.bucket_start >= cut].to_parquet(
+        os.path.join(src_dir, "b.parquet"), coerce_timestamps="us"
+    )
+
+    stream = (
+        spark.readStream.schema("source string, bucket_start timestamp, cnt double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream_cusum(stream, "cnt", target=50.0, k=1.0, h=10.0)
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.sql("SELECT * FROM cusum_stream")
+        .toPandas()
+        .sort_values(["source", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    want = (
+        cusum(
+            spark.createDataFrame(pdf), "cnt", key_col="source",
+            ts_col="bucket_start", k=1.0, h=10.0, target=50.0,
+        )
+        .toPandas()
+        .sort_values(["key", "bucket_epoch"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 60
+    assert (got["alarm"].to_numpy() == want["alarm"].to_numpy()).all()
+    assert np.allclose(got["s_pos"], want["s_pos"], atol=0)
+    assert np.allclose(got["s_neg"], want["s_neg"], atol=0)
+    assert got["alarm"].sum() > 0  # both creeps actually fired
