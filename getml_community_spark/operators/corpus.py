@@ -50,6 +50,7 @@ def clean_corpus(
     jaccard_threshold: float = 0.8,
     contamination_ngram: int = 5,
     transitive: bool = False,
+    redact_pii: bool = False,
     report: bool = False,
 ) -> tuple[DataFrame, CleanReport]:
     """Run the standard cleaning chain and return (clean_df, report).
@@ -62,6 +63,10 @@ def clean_corpus(
                  component instead of the one-hop greedy)
     4. decontam— drop docs sharing any ``contamination_ngram``-gram with
                  ``benchmark`` (skipped when benchmark is None)
+    5. redact  — ``redact_pii=True`` replaces emails/IPs/SSNs/phones in
+                 the survivors' text with placeholder tokens (the ONE
+                 stage that mutates rather than drops; runs last so the
+                 dedup stages hash the original text)
     """
     rep = CleanReport()
 
@@ -105,5 +110,10 @@ def clean_corpus(
         out = note(
             "decontam", out.join(flags.select(id_col), id_col, "left_semi")
         )
+
+    if redact_pii:
+        from .pii import pii_redact
+
+        out = note("redact", pii_redact(out, text_col))
 
     return out, rep

@@ -57,6 +57,23 @@ def test_clean_corpus_lazy_without_report(spark, corpus):
     assert out.count() == 3  # gopher, exact, near each drop one doc
 
 
+def test_clean_corpus_redact_stage(spark, corpus):
+    from pyspark.sql import functions as F
+
+    tainted = corpus.withColumn(
+        "text", F.concat("text", F.lit(" mail me at leak@example.com"))
+    )
+    out, rep = clean_corpus(
+        tainted, min_words=20, min_stop_hits=1, redact_pii=True, report=True
+    )
+    texts = [r["text"] for r in out.collect()]
+    assert texts and all("<EMAIL>" in t for t in texts)
+    assert all("leak@example.com" not in t for t in texts)
+    # redact mutates, never drops
+    stages = dict(rep.stages)
+    assert stages["redact"] == stages["near"]
+
+
 def test_clean_corpus_report_scans_input_once(spark, corpus):
     """report=True must NOT recompute the upstream chain per stage: a
     scan-counting accumulator on the raw input sees each row exactly
