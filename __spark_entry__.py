@@ -1296,6 +1296,33 @@ def q_seasonal_decompose(spark, sf):
     )
 
 
+def q_m4_6h(spark, sf):
+    """M4 visual downsampling (Jugel et al. VLDB 2014): per (user,
+    6-hour pixel column) keep first/min/max/last of the raw series —
+    the four points that make a line rendering pixel-perfect. One
+    hash-aggregate, constant per-group state; ties pinned by
+    lexicographic (value, ts) ordering on both engines."""
+    from getml_community_spark.operators.downsample import m4_downsample
+
+    ev = _load(spark, sf, "events").select(
+        F.col("user_id").alias("source"), "ts", "value"
+    )
+    out = m4_downsample(ev, 21600, ts_col="ts")
+    return out.select(
+        F.col("source").cast("long").alias("user_id"),
+        "bucket_epoch",
+        "t_first",
+        _r(F.col("v_first")).alias("v_first"),
+        "t_min",
+        _r(F.col("v_min")).alias("v_min"),
+        "t_max",
+        _r(F.col("v_max")).alias("v_max"),
+        "t_last",
+        _r(F.col("v_last")).alias("v_last"),
+        "n_points",
+    )
+
+
 def q_cusum_1h(spark, sf):
     """CUSUM change-point statistics (Page 1954) on the hourly count
     tier: accumulates sustained drifts a per-bucket z-score misses.
@@ -1627,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose": q_seasonal_decompose,
         "deseasonal_anomaly": q_deseasonal_anomaly,
         "cusum_1h": q_cusum_1h,
+        "m4_6h": q_m4_6h,
         "stratified_sample": q_stratified_sample,
         "pack_stats": q_pack_stats,
         "gopher_quality": q_gopher_quality,
@@ -2343,6 +2371,41 @@ def oracle_sql() -> dict[str, str]:
                      AS resid
             FROM t JOIN sea
               ON t.user_id = sea.user_id AND t.phase = sea.phase
+        """,
+        "m4_6h": """
+            -- M4: first/min/max/last per (user, 6h bucket); ties pinned
+            -- by (v, t) lexicographic order = ORDER BY v, t row picks
+            WITH pts AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS bucket_epoch,
+                     -- floor, not CAST: DuckDB CAST(double AS BIGINT)
+                     -- rounds while Spark's timestamp->long truncates
+                     CAST(floor(epoch(ts)) AS BIGINT) AS t, value AS v
+              FROM events
+            ), rk AS (
+              SELECT *,
+                row_number() OVER (PARTITION BY user_id, bucket_epoch
+                                   ORDER BY t ASC, v ASC) AS r_first,
+                row_number() OVER (PARTITION BY user_id, bucket_epoch
+                                   ORDER BY v ASC, t ASC) AS r_min,
+                row_number() OVER (PARTITION BY user_id, bucket_epoch
+                                   ORDER BY v DESC, t DESC) AS r_max,
+                row_number() OVER (PARTITION BY user_id, bucket_epoch
+                                   ORDER BY t DESC, v DESC) AS r_last,
+                count(*) OVER (PARTITION BY user_id, bucket_epoch) AS n
+              FROM pts
+            )
+            SELECT user_id, bucket_epoch,
+                   max(CASE WHEN r_first = 1 THEN t END) AS t_first,
+                   round(max(CASE WHEN r_first = 1 THEN v END), 6) AS v_first,
+                   max(CASE WHEN r_min = 1 THEN t END) AS t_min,
+                   round(max(CASE WHEN r_min = 1 THEN v END), 6) AS v_min,
+                   max(CASE WHEN r_max = 1 THEN t END) AS t_max,
+                   round(max(CASE WHEN r_max = 1 THEN v END), 6) AS v_max,
+                   max(CASE WHEN r_last = 1 THEN t END) AS t_last,
+                   round(max(CASE WHEN r_last = 1 THEN v END), 6) AS v_last,
+                   CAST(max(n) AS BIGINT) AS n_points
+            FROM rk GROUP BY 1, 2
         """,
         "cusum_1h": """
             -- CUSUM via prefix sums in micro-unit integers: cum minus

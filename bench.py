@@ -56,6 +56,9 @@ HEADLINE = [
     "png_decode",
     "seasonal_decompose",
     "token_budget_sample",
+    "cusum_1h",
+    "deseasonal_anomaly",
+    "m4_6h",
 ]
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["lttb_downsample"]
+__all__ = ["lttb_downsample", "m4_downsample"]
 
 
 def lttb_downsample(
@@ -91,4 +91,53 @@ def lttb_downsample(
             F.col("__t").alias("ts"),
             F.col("__v").alias("value"),
         )
+    )
+
+
+def m4_downsample(
+    df: DataFrame,
+    bucket_seconds: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    source_col: str = "source",
+) -> DataFrame:
+    """M4 visual downsampling (Jugel et al., VLDB 2014, public): per
+    (source, pixel-column bucket), keep the min, max, first and last
+    values — the four points that make a width-w line rendering
+    PIXEL-PERFECT (the paper's error-free guarantee for line charts).
+
+    Cheaper than LTTB (ONE groupBy, no windows, no joins — pure
+    hash-aggregate with constant per-group state) and the right default
+    when the consumer is a dashboard at known resolution; LTTB remains
+    the choice for a fixed point budget independent of rendering width.
+
+    Output: one row per (source, bucket) with (t_first, v_first, t_min,
+    v_min, t_max, v_max, t_last, v_last, n_points). Ties resolve
+    lexicographically on the (value, ts) pair — min side to the
+    earliest ts, max side to the latest — deterministic on both
+    engines (oracle mirrors with ORDER BY v, t row_number picks).
+    """
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    pts = df.select(
+        F.col(source_col).alias("source"),
+        epoch.alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+        (F.floor(epoch / bucket_seconds) * bucket_seconds)
+        .cast("long")
+        .alias("bucket_epoch"),
+    )
+    # struct-ordered extrema: min_by/max_by tie arbitrarily on equal v;
+    # lexicographic struct ordering pins ties deterministically
+    v_t = F.struct(F.col("__v").alias("v"), F.col("__t").alias("t"))
+    t_v = F.struct(F.col("__t").alias("t"), F.col("__v").alias("v"))
+    return pts.groupBy("source", "bucket_epoch").agg(
+        F.min(t_v)["t"].alias("t_first"),
+        F.min(t_v)["v"].alias("v_first"),
+        F.min(v_t)["t"].alias("t_min"),
+        F.min(v_t)["v"].alias("v_min"),
+        F.max(v_t)["t"].alias("t_max"),
+        F.max(v_t)["v"].alias("v_max"),
+        F.max(t_v)["t"].alias("t_last"),
+        F.max(t_v)["v"].alias("v_last"),
+        F.count(F.lit(1)).alias("n_points"),
     )

@@ -92,3 +92,55 @@ def test_lttb_rejects_bad_bucket(spark, series):
     _, sdf = series
     with pytest.raises(ValueError):
         lttb_downsample(sdf, 0)
+
+
+def test_m4_semantics_and_pixel_perfection(spark):
+    """M4 keeps exactly first/min/max/last per bucket with deterministic
+    tie handling, and reproduces the exact extrema a full scan finds."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from getml_community_spark.operators.downsample import m4_downsample
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for src in ("a", "b"):
+        for i in range(500):
+            rows.append((src, 1_700_000_000 + i * 37, float(rng.integers(0, 100))))
+    # a tie: same min value twice in one bucket — earliest ts must win
+    rows.append(("a", 1_700_000_001, -5.0))
+    rows.append(("a", 1_700_000_002, -5.0))
+    pdf = pd.DataFrame(rows, columns=["source", "e", "value"])
+    df = spark.createDataFrame(pdf).select(
+        "source", F.timestamp_seconds("e").alias("ts"), "value"
+    )
+    out = m4_downsample(df, 3600, ts_col="ts").toPandas()
+    pdf["bucket"] = pdf.e // 3600 * 3600
+    for (src, b), g in pdf.groupby(["source", "bucket"]):
+        row = out[(out.source == src) & (out.bucket_epoch == b)].iloc[0]
+        assert row["n_points"] == len(g)
+        assert row["v_min"] == g.value.min() and row["v_max"] == g.value.max()
+        g = g.sort_values(["e", "value"])
+        assert row["t_first"] == g.e.iloc[0] and row["t_last"] == g.e.iloc[-1]
+        # min tie pinned to earliest ts
+        mins = g[g.value == g.value.min()]
+        assert row["t_min"] == mins.e.min()
+
+
+def test_m4_is_single_aggregate(spark):
+    from pyspark.sql import functions as F
+
+    from getml_community_spark.operators.downsample import m4_downsample
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.col("user_id").alias("source"), "ts", "value"
+    )
+    plan = (
+        m4_downsample(ev, 21600, ts_col="ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan and "Python" not in plan
