@@ -1094,6 +1094,52 @@ def q_png_decode(spark, sf):
     )
 
 
+def q_jpeg_decode(spark, sf):
+    """REAL transform-coding decode end-to-end: each document renders a
+    16x16 grayscale image of four constant 8x8 blocks — block k value =
+    128 + ((n_chars*(k+3)) % 7 - 3) * dc_quantum — through the
+    pure-numpy baseline JPEG encoder, and extract_image_features
+    (decoder='jpeg') decodes it BACK through a true Huffman + dequant +
+    IDCT pipeline. Constant blocks have zero AC energy and DC snapped
+    to the quantization grid, so the lossy codec round-trips EXACTLY
+    and the oracle recomputes the block statistics from the formula."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from getml_community_spark.operators.jpeg import dc_quantum, encode_jpeg_gray
+    from getml_community_spark.operators.multimodal import extract_image_features
+
+    q = dc_quantum(90)  # 3 at quality 90
+
+    @pandas_udf("binary")
+    def _render(seed):  # pd.Series[int] -> pd.Series[bytes]
+        out = []
+        for s in seed:
+            blocks = np.array(
+                [128 + (int(s) * (k + 3) % 7 - 3) * q for k in range(4)],
+                dtype=np.int64,
+            ).reshape(2, 2)
+            px = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+            out.append(encode_jpeg_gray(px, quality=90))
+        return pd.Series(out)
+
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("n_chars").cast("long").alias("__seed"),
+    )
+    payloads = docs.select("media_id", _render("__seed").alias("payload"))
+    feats = extract_image_features(payloads, decoder="jpeg")
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.element_at("features", 1).cast("int").alias("width"),
+        F.element_at("features", 2).cast("int").alias("height"),
+        _r(F.element_at("features", 3)).alias("mean_luma"),
+        F.element_at("features", 9).cast("long").alias("min_luma"),
+        F.element_at("features", 10).cast("long").alias("max_luma"),
+    )
+
+
 def q_wav_features(spark, sf):
     """REAL audio decode end-to-end, no external codecs: each document
     deterministically renders 64 PCM16 samples — s_k =
@@ -1644,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "bmp_decode": q_bmp_decode,
         "png_decode": q_png_decode,
+        "jpeg_decode": q_jpeg_decode,
         "wav_features": q_wav_features,
         "tfidf_topk": q_tfidf_topk,
         "lttb_6h": q_lttb_6h,
@@ -2220,6 +2267,25 @@ def oracle_sql() -> dict[str, str]:
                      i -> CAST((n_chars*7 + 5*i + 29) % 256 AS DOUBLE)), 'avg'), 6) AS mean_g,
                    round(list_aggregate(list_transform(range(0, 64),
                      i -> CAST((n_chars*7 + 5*i + 58) % 256 AS DOUBLE)), 'avg'), 6) AS mean_b
+            FROM documents
+        """,
+        "jpeg_decode": """
+            -- constant-8x8-block grayscale JPEG: DC snapped to the
+            -- quality-90 quantization grid (quantum 3), zero AC energy
+            -- -> the lossy codec round-trips EXACTLY; block stats
+            -- recomputed from the generating formula. mean is x/4 of
+            -- integers (exact at 6 decimals).
+            SELECT doc_id,
+                   16 AS width, 16 AS height,
+                   round(list_aggregate(list_transform(range(0, 4),
+                     k -> CAST(128 + ((n_chars*(k+3)) % 7 - 3) * 3 AS DOUBLE)),
+                     'avg'), 6) AS mean_luma,
+                   CAST(list_aggregate(list_transform(range(0, 4),
+                     k -> 128 + ((n_chars*(k+3)) % 7 - 3) * 3),
+                     'min') AS BIGINT) AS min_luma,
+                   CAST(list_aggregate(list_transform(range(0, 4),
+                     k -> 128 + ((n_chars*(k+3)) % 7 - 3) * 3),
+                     'max') AS BIGINT) AS max_luma
             FROM documents
         """,
         "wav_features": """

@@ -59,6 +59,7 @@ HEADLINE = [
     "cusum_1h",
     "deseasonal_anomaly",
     "m4_6h",
+    "jpeg_decode",
 ]
 
 

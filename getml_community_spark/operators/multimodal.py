@@ -349,6 +349,31 @@ def _png_decode_features(payloads: pd.Series) -> np.ndarray:
     return out
 
 
+def _jpeg_decode_features(payloads: pd.Series) -> np.ndarray:
+    """REAL transform-coding decode path: Huffman-decode + dequant +
+    IDCT each JPEG (gray or color, .jpeg module), emit the same feature
+    layout as :func:`_bmp_decode_features` (grayscale broadcasts its
+    plane to the three channel slots)."""
+    from .jpeg import decode_jpeg
+
+    out = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float64)
+    for i, b in enumerate(payloads):
+        img = decode_jpeg(bytes(b))
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        img = img.astype(np.float64)
+        luma = img.mean(axis=2)
+        out[i, :10] = [
+            img.shape[1],
+            img.shape[0],
+            *img.mean(axis=(0, 1)),
+            *img.std(axis=(0, 1)),
+            luma.min(),
+            luma.max(),
+        ]
+    return out
+
+
 def _fake_decode_features(payloads: pd.Series) -> np.ndarray:
     """Deterministic stand-in for a real decoder: features are stable
     functions of the payload bytes (so tests are exact and the Arrow
@@ -377,14 +402,15 @@ def extract_image_features(
     preserved; no shuffle is introduced."""
     if decoder == "pil":
         raise NotImplementedError(
-            "jpeg decode needs pillow/torchvision (not in this container); "
-            "decoder='bmp' and decoder='png' are REAL pure-numpy paths"
+            "pillow/torchvision are not in this container; decoder='bmp', "
+            "'png' and 'jpeg' are REAL pure-numpy paths"
         )
     if decoder == "ffmpeg":
         raise NotImplementedError("ffmpeg decode not available in this container")
     decoders = {
         "bmp": _bmp_decode_features,
         "png": _png_decode_features,
+        "jpeg": _jpeg_decode_features,
         "fake": _fake_decode_features,
     }
     if decoder not in decoders:
