@@ -13,10 +13,13 @@ plumbing) is real and tested. Decoding:
   (:func:`decode_png`; chunk walk + CRC, stdlib-zlib inflate,
   all-five-filter scanline unfilter), so a *compressed* format is
   end-to-end real too. :func:`encode_png` is its inverse.
+- ``decoder="jpeg"`` — a REAL pure-numpy baseline JPEG path
+  (:mod:`.jpeg`: Huffman decode, dequant, IDCT; gray and color with
+  subsampling/restart markers, validated on an external fixture).
 - :func:`extract_audio_features` with ``decoder="wav"`` — a real
   pure-numpy PCM16 WAV decoder (:func:`decode_wav`; RIFF chunk walk).
 - ``decoder="fake"`` — deterministic bytes-derived features for
-  formats whose codecs aren't in this container (jpeg/mp4).
+  formats whose codecs aren't in this container (mp4/video).
 - ``decoder="pil"``/``"ffmpeg"`` raise ``NotImplementedError`` with
   install guidance. Swapping a stub for a real decoder changes ONE
   numpy function, not the Spark plan.
