@@ -1342,6 +1342,28 @@ def q_seasonal_decompose(spark, sf):
     )
 
 
+def q_sessions_30m(spark, sf):
+    """Gap-based sessionization (new session when a user's inter-event
+    gap exceeds 30 minutes) with per-session summaries — the standard
+    event-analytics primitive, all integer window arithmetic (lag flag
+    + RANGE-framed running sum, so tied timestamps share a session
+    deterministically)."""
+    from getml_community_spark.operators.sessionize import session_summary
+
+    ev = _load(spark, sf, "events").select(
+        F.col("user_id").alias("source"), "ts"
+    )
+    out = session_summary(ev, 1800, key_col="source", ts_col="ts")
+    return out.select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("session_id").cast("long").alias("session_id"),
+        "t_start",
+        "t_end",
+        "duration_s",
+        "n_events",
+    )
+
+
 def q_m4_6h(spark, sf):
     """M4 visual downsampling (Jugel et al. VLDB 2014): per (user,
     6-hour pixel column) keep first/min/max/last of the raw series —
@@ -1702,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deseasonal_anomaly": q_deseasonal_anomaly,
         "cusum_1h": q_cusum_1h,
         "m4_6h": q_m4_6h,
+        "sessions_30m": q_sessions_30m,
         "stratified_sample": q_stratified_sample,
         "pack_stats": q_pack_stats,
         "gopher_quality": q_gopher_quality,
@@ -2437,6 +2460,31 @@ def oracle_sql() -> dict[str, str]:
                      AS resid
             FROM t JOIN sea
               ON t.user_id = sea.user_id AND t.phase = sea.phase
+        """,
+        "sessions_30m": """
+            -- lag-flag + RANGE-framed running sum (ties share a
+            -- session); pure integer arithmetic end-to-end
+            WITH e AS (
+              SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS e
+              FROM events
+            ), f AS (
+              SELECT user_id, e,
+                     CASE WHEN lag(e) OVER w IS NULL
+                            OR e - lag(e) OVER w > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY e)
+            ), s AS (
+              SELECT user_id, e,
+                     CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY e
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sid
+              FROM f
+            )
+            SELECT user_id, sid AS session_id,
+                   min(e) AS t_start, max(e) AS t_end,
+                   max(e) - min(e) AS duration_s,
+                   count(*) AS n_events
+            FROM s GROUP BY 1, 2
         """,
         "m4_6h": """
             -- M4: first/min/max/last per (user, 6h bucket); ties pinned

@@ -60,6 +60,7 @@ HEADLINE = [
     "deseasonal_anomaly",
     "m4_6h",
     "jpeg_decode",
+    "sessions_30m",
 ]
 
 
