@@ -1342,6 +1342,19 @@ def q_seasonal_decompose(spark, sf):
     )
 
 
+def q_lm_perplexity(spark, sf):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): an add-0.1
+    smoothed bigram model trained on the corpus itself scores each doc
+    by average negative log-probability (monotone in perplexity).
+    Counts are exact ints; per-bigram ln-probs quantize to micro-unit
+    longs so document sums are order-independent and the result is
+    reproducible cross-engine."""
+    from getml_community_spark.operators.lm import bigram_lm_score
+
+    docs = _load(spark, sf, "documents")
+    return bigram_lm_score(docs, "text", "doc_id", k=0.1)
+
+
 def q_sessions_30m(spark, sf):
     """Gap-based sessionization (new session when a user's inter-event
     gap exceeds 30 minutes) with per-session summaries — the standard
@@ -1725,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_1h": q_cusum_1h,
         "m4_6h": q_m4_6h,
         "sessions_30m": q_sessions_30m,
+        "lm_perplexity": q_lm_perplexity,
         "stratified_sample": q_stratified_sample,
         "pack_stats": q_pack_stats,
         "gopher_quality": q_gopher_quality,
@@ -2460,6 +2474,35 @@ def oracle_sql() -> dict[str, str]:
                      AS resid
             FROM t JOIN sea
               ON t.user_id = sea.user_id AND t.phase = sea.phase
+        """,
+        "lm_perplexity": """
+            -- corpus-trained add-0.1 bigram LM; per-bigram ln-probs
+            -- quantized to micro-unit longs -> order-independent sums
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9'']+'), x -> x <> '') AS ws
+              FROM documents
+            ), big AS (
+              SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+              FROM base, unnest(range(1, len(ws))) AS t(i)
+            ), cb AS (
+              SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2
+            ), cu AS (
+              SELECT w1, count(*) AS cu FROM big GROUP BY 1
+            ), v AS (
+              SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM big
+            ), lp AS (
+              SELECT cb.w1, cb.w2,
+                     CAST(floor(ln((cb + 0.1)/(cu + 0.1*v))*1e6 + 0.5)
+                       AS BIGINT) AS lp_u
+              FROM cb JOIN cu ON cb.w1 = cu.w1 CROSS JOIN v
+            )
+            SELECT b.doc_id, count(*) AS n_bigrams,
+                   floor(-CAST(sum(lp_u) AS BIGINT)/(1e6*count(*))*1e4
+                         + 0.5)/1e4 AS avg_nll
+            FROM big b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
+            GROUP BY 1
         """,
         "sessions_30m": """
             -- lag-flag + RANGE-framed running sum (ties share a

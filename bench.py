@@ -61,6 +61,7 @@ HEADLINE = [
     "m4_6h",
     "jpeg_decode",
     "sessions_30m",
+    "lm_perplexity",
 ]
 
 
