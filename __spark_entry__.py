@@ -1342,6 +1342,76 @@ def q_seasonal_decompose(spark, sf):
     )
 
 
+_REP_THRESHOLDS = {
+    2: 0.20, 3: 0.18, 4: 0.16,
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+}
+
+
+def q_repetition_stats(spark, sf):
+    """The Gopher repetition sub-table (Rae et al. 2021 Table A1): top
+    2-4-gram and duplicated 5-10-gram character fractions per document
+    plus the nine-threshold keep verdict. Exact-integer quotients
+    quantized at 6 decimals on both engines."""
+    from getml_community_spark.operators.textstats import repetition_stats
+
+    docs = _load(spark, sf, "documents")
+    return repetition_stats(docs, "text", "doc_id")
+
+
+def _repetition_oracle_sql() -> str:
+    frac = (
+        "floor(CASE WHEN chars > 0 THEN CAST({src} AS DOUBLE)/chars "
+        "ELSE 0 END * 1e6 + 0.5)/1e6"
+    )
+    piv_cols = []
+    sel_cols = []
+    keeps = []
+    for n, thr in _REP_THRESHOLDS.items():
+        name = f"top_{n}gram_frac" if n <= 4 else f"dup_{n}gram_frac"
+        src = "top" if n <= 4 else "dup"
+        piv_cols.append(
+            f"max(CASE WHEN n = {n} THEN {frac.format(src=src)} END) AS {name}"
+        )
+        sel_cols.append(f"coalesce({name}, 0.0) AS {name}")
+        keeps.append(f"coalesce({name}, 0.0) <= {thr}")
+    ns = ",".join(f"({n})" for n in _REP_THRESHOLDS)
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9'']+'), x -> x <> '') AS ws
+          FROM documents
+        ), base2 AS (
+          SELECT doc_id, ws,
+                 length(array_to_string(ws, ' ')) AS chars
+          FROM base
+        ), grams AS (
+          SELECT doc_id, chars, nn.n AS n,
+                 array_to_string(list_slice(ws, i, i + nn.n - 1), ' ') AS gram
+          FROM base2
+          CROSS JOIN (VALUES {ns}) AS nn(n),
+               unnest(range(1, len(ws) - nn.n + 2)) AS t(i)
+          WHERE len(ws) >= nn.n
+        ), counts AS (
+          SELECT doc_id, chars, n, gram, count(*) AS c
+          FROM grams GROUP BY 1, 2, 3, 4
+        ), per_n AS (
+          SELECT doc_id, chars, n,
+                 CAST(max(c * length(gram)) AS BIGINT) AS top,
+                 CAST(sum(CASE WHEN c >= 2 THEN c * length(gram)
+                          ELSE 0 END) AS BIGINT) AS dup
+          FROM counts GROUP BY 1, 2, 3
+        ), piv AS (
+          SELECT doc_id, {", ".join(piv_cols)}
+          FROM per_n GROUP BY 1
+        )
+        SELECT d.doc_id, {", ".join(sel_cols)},
+               ({" AND ".join(keeps)}) AS keep_repetition
+        FROM documents d LEFT JOIN piv ON d.doc_id = piv.doc_id
+    """
+
+
 def q_lm_perplexity(spark, sf):
     """CCNet-style LM quality scoring (Wenzek et al. 2020): an add-0.1
     smoothed bigram model trained on the corpus itself scores each doc
@@ -1739,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_6h": q_m4_6h,
         "sessions_30m": q_sessions_30m,
         "lm_perplexity": q_lm_perplexity,
+        "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
         "pack_stats": q_pack_stats,
         "gopher_quality": q_gopher_quality,
@@ -2475,6 +2546,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t JOIN sea
               ON t.user_id = sea.user_id AND t.phase = sea.phase
         """,
+        "repetition_stats": _repetition_oracle_sql(),
         "lm_perplexity": """
             -- corpus-trained add-0.1 bigram LM; per-bigram ln-probs
             -- quantized to micro-unit longs -> order-independent sums

@@ -62,6 +62,7 @@ HEADLINE = [
     "jpeg_decode",
     "sessions_30m",
     "lm_perplexity",
+    "repetition_stats",
 ]
 
 

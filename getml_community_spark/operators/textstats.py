@@ -156,6 +156,101 @@ def _spread(df: DataFrame) -> DataFrame:
 _GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The Gopher repetition sub-table (Rae et al. 2021 Table A1) that
+    :func:`gopher_quality`'s word-level rules don't cover: per document,
+
+    - ``top_{2,3,4}gram_frac`` — fraction of the document's characters
+      covered by occurrences of its single most frequent word n-gram
+      (thresholds 0.20 / 0.18 / 0.16);
+    - ``dup_{5..10}gram_frac`` — fraction of characters covered by
+      n-grams that occur more than once (0.15 / 0.14 / 0.13 / 0.12 /
+      0.11 / 0.10);
+    - ``keep_repetition`` — all nine thresholds pass.
+
+    Characters are counted over the whitespace-normalized token join.
+    Occurrences are counted WITH overlap (count × n-gram length), an
+    upper bound on the paper's deduplicated character spans — the bound
+    only errs toward filtering MORE repetitive documents, and fractions
+    can exceed 1 on degenerate repetition. Like the paper, apply AFTER
+    the length filter: on very short documents even a once-occurring
+    n-gram is a large character fraction.
+    Scale shape: ONE explode over (n, position) → one (id, n, gram)
+    count agg → one (id, n) roll-up → one per-id assembly; fractions
+    are exact-integer quotients quantized at 6 decimals, so the whole
+    table is reproducible cross-engine.
+    """
+    thresholds = {
+        2: 0.20, 3: 0.18, 4: 0.16,
+        5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+    }
+    df = _spread(df)
+    ws = word_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        ws.alias("__ws"),
+        F.length(F.array_join(ws, " ")).cast("long").alias("__chars"),
+    )
+    # one exploded stream of (id, n, gram, gram_chars) for all nine n
+    gram_arrays = F.concat(
+        *[
+            F.expr(
+                f"CASE WHEN size(__ws) >= {n} THEN "
+                f"transform(sequence(1, size(__ws) - {n - 1}), "
+                f"i -> struct({n} AS n, "
+                f"concat_ws(' ', slice(__ws, i, {n})) AS gram)) "
+                f"ELSE array() END"
+            )
+            for n in thresholds
+        ]
+    )
+    grams = (
+        base.select("id", "__chars", F.explode(gram_arrays).alias("g"))
+        .select("id", "__chars", "g.n", "g.gram")
+    )
+    counts = grams.groupBy("id", "__chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    covered = F.col("__c") * F.length("gram")
+    per_n = counts.groupBy("id", "__chars", "n").agg(
+        F.max(covered).alias("__top"),
+        F.sum(F.when(F.col("__c") >= 2, covered).otherwise(F.lit(0))).alias(
+            "__dup"
+        ),
+    )
+    def frac(c):
+        x = F.when(
+            F.col("__chars") > 0, c.cast("double") / F.col("__chars")
+        ).otherwise(F.lit(0.0))
+        # IEEE-pure 6-decimal rounding (identical cross-engine)
+        return F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    cols = {}
+    for n, thr in thresholds.items():
+        src = F.col("__top") if n <= 4 else F.col("__dup")
+        name = f"top_{n}gram_frac" if n <= 4 else f"dup_{n}gram_frac"
+        cols[name] = (
+            F.max(F.when(F.col("n") == n, frac(src))).alias(name),
+            thr,
+        )
+    pivoted = per_n.groupBy("id").agg(*[c for c, _ in cols.values()])
+    # docs too short for even a 2-gram produce no exploded rows — join
+    # back to the full id set so they appear with all-zero fractions
+    out = base.select("id").join(pivoted, "id", "left")
+    keep = None
+    for name, (_, thr) in cols.items():
+        ok = F.coalesce(F.col(name), F.lit(0.0)) <= F.lit(thr)
+        keep = ok if keep is None else (keep & ok)
+    return out.select(
+        F.col("id").alias(id_col),
+        *[F.coalesce(F.col(name), F.lit(0.0)).alias(name) for name in cols],
+        keep.alias("keep_repetition"),
+    )
+
+
 def gopher_quality(
     df: DataFrame,
     text_col: str,

@@ -169,3 +169,31 @@ def test_ngram_contamination_broadcasts_benchmark(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan  # corpus never shuffles for the probe
+
+
+def test_repetition_stats_rules(spark):
+    """Gopher repetition sub-table: a spammy doc trips the thresholds, a
+    long clean doc passes, a too-short doc appears with zero fractions."""
+    from getml_community_spark.operators.textstats import repetition_stats
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "other animals watch from a distant hill under morning light "
+        "and nobody repeats anything important in this long sentence "
+        "because every clause introduces fresh words and new ideas"
+    )
+    rows = [
+        (0, clean),
+        (1, "buy now " * 40),            # one 2-gram dominates
+        (2, ("alpha beta gamma delta epsilon zeta " * 10) + "end"),  # dup 5-grams
+        (3, "tiny"),                      # < 2 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert len(out) == 4  # short doc still present
+    assert out[0]["keep_repetition"] is True
+    assert out[1]["keep_repetition"] is False
+    assert out[1]["top_2gram_frac"] > 0.2
+    assert out[2]["keep_repetition"] is False
+    assert out[2]["dup_5gram_frac"] > 0.15
+    assert out[3]["top_2gram_frac"] == 0.0 and out[3]["keep_repetition"] is True
