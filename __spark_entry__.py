@@ -1397,8 +1397,11 @@ def _repetition_oracle_sql() -> str:
           SELECT doc_id, chars, n, gram, count(*) AS c
           FROM grams GROUP BY 1, 2, 3, 4
         ), per_n AS (
+          -- count>=2 guard on BOTH: a once-occurring n-gram is not
+          -- repetition (mirrors the engine / DataTrove semantics)
           SELECT doc_id, chars, n,
-                 CAST(max(c * length(gram)) AS BIGINT) AS top,
+                 CAST(max(CASE WHEN c >= 2 THEN c * length(gram)
+                          ELSE 0 END) AS BIGINT) AS top,
                  CAST(sum(CASE WHEN c >= 2 THEN c * length(gram)
                           ELSE 0 END) AS BIGINT) AS dup
           FROM counts GROUP BY 1, 2, 3

@@ -50,13 +50,16 @@ def clean_corpus(
     jaccard_threshold: float = 0.8,
     contamination_ngram: int = 5,
     transitive: bool = False,
+    repetition: bool = False,
     redact_pii: bool = False,
     report: bool = False,
 ) -> tuple[DataFrame, CleanReport]:
     """Run the standard cleaning chain and return (clean_df, report).
 
     Stages, in order (each drops rows, never mutates them):
-    1. gopher  — Gopher/MassiveText quality rules (keep == true)
+    1. gopher  — Gopher/MassiveText quality rules (keep == true);
+                 ``repetition=True`` adds the Table A1 repetition
+                 sub-table (top/dup n-gram char fractions) as stage 1b
     2. exact   — exact dedup on normalized text (keep min id)
     3. near    — MinHash-LSH near-dedup at ``jaccard_threshold``
                  (``transitive=True`` → one survivor per connected
@@ -86,6 +89,16 @@ def clean_corpus(
     ).where("keep")
     out = df.join(keep.select(id_col), id_col, "left_semi")
     out = note("gopher", out)
+
+    if repetition:
+        from .textstats import repetition_stats
+
+        rep_keep = repetition_stats(out, text_col, id_col).where(
+            "keep_repetition"
+        )
+        out = note(
+            "repetition", out.join(rep_keep.select(id_col), id_col, "left_semi")
+        )
 
     # exact_dedup returns (id, dup_count) winners — semi-join to keep rows
     winners = exact_dedup(out, text_col, id_col).select(id_col)

@@ -165,8 +165,12 @@ def repetition_stats(
     :func:`gopher_quality`'s word-level rules don't cover: per document,
 
     - ``top_{2,3,4}gram_frac`` — fraction of the document's characters
-      covered by occurrences of its single most frequent word n-gram
-      (thresholds 0.20 / 0.18 / 0.16);
+      covered by occurrences of its single most frequent word n-gram,
+      counted only when that n-gram occurs MORE THAN ONCE (a unique
+      n-gram is not repetition — the guard the public DataTrove
+      implementation of this filter applies; without it every
+      shortish document trips the 4-gram threshold on its longest
+      phrase). Thresholds 0.20 / 0.18 / 0.16;
     - ``dup_{5..10}gram_frac`` — fraction of characters covered by
       n-grams that occur more than once (0.15 / 0.14 / 0.13 / 0.12 /
       0.11 / 0.10);
@@ -216,11 +220,10 @@ def repetition_stats(
         F.count(F.lit(1)).alias("__c")
     )
     covered = F.col("__c") * F.length("gram")
+    dup_covered = F.when(F.col("__c") >= 2, covered).otherwise(F.lit(0))
     per_n = counts.groupBy("id", "__chars", "n").agg(
-        F.max(covered).alias("__top"),
-        F.sum(F.when(F.col("__c") >= 2, covered).otherwise(F.lit(0))).alias(
-            "__dup"
-        ),
+        F.max(dup_covered).alias("__top"),  # count>=2 guard (see docstring)
+        F.sum(dup_covered).alias("__dup"),
     )
     def frac(c):
         x = F.when(

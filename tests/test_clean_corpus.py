@@ -95,3 +95,22 @@ def test_clean_corpus_report_scans_input_once(spark, corpus):
     assert out.count() == 3
     # one materializing pass over the source, then cached blocks only
     assert scans.value == n_rows, f"input scanned {scans.value / n_rows:.1f}x"
+
+
+def test_clean_corpus_repetition_stage(spark):
+    from pyspark.sql import functions as F
+
+    good = (
+        "the quick brown fox jumps over the lazy dog while other "
+        "animals watch from a distant hill under morning light and "
+        "nobody repeats anything important in this long sentence here"
+    )
+    rows = [(0, good), (1, "buy the item now " * 30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, rep = clean_corpus(
+        df, min_words=10, min_stop_hits=1, repetition=True, report=True
+    )
+    stages = dict(rep.stages)
+    assert stages["gopher"] == 2  # both pass the word-level rules
+    assert stages["repetition"] == 1  # the spam doc trips Table A1
+    assert [r["doc_id"] for r in out.select("doc_id").collect()] == [0]
