@@ -19,12 +19,17 @@ oracle           numpy implementation of the full aggregation battery (test orac
 checkpoint       snapshot-manifest table layer + per-partition lineage + resume
 plans            RollupSpec — the declarative job spec (Placeholder analogue)
 operators        rollup tiers, gap-fill, as-of join, agg battery, dedup,
-                 similarity search, text stats, sequence packing, corpus
-                 cleaning, multimodal codecs/plumbing, skew tools
+                 similarity search, text stats + repetition filters,
+                 LM-perplexity scoring, PII redaction, sequence packing,
+                 token-budget/stratified sampling, sessionization,
+                 seasonal decomposition, CUSUM change-points, SAX words,
+                 LTTB/M4 downsampling, corpus cleaning, multimodal
+                 codecs (BMP/PNG/JPEG/WAV) + plumbing, skew tools
 functions        scalar expression surface, Gorilla numpy kernels, preprocessors
-sources          readers/writers (csv/parquet/json/jdbc; snapshot tables)
+sources          readers/writers (csv/parquet/json/orc/jdbc; snapshot tables)
 streaming        structured-streaming 1m tier, stateful Gorilla segment
-                 close, watermark-evicted streaming dedup
+                 close, watermark-evicted streaming dedup, streaming
+                 anomaly + CUSUM alerts
 """
 
 __version__ = "0.1.0"
