@@ -312,3 +312,15 @@ def test_decompose_materializes_input_once(spark):
     # phase/key mean frames broadcast back (2 BroadcastExchange)
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "Python" not in plan
+
+
+def test_lm_and_repetition_plans_are_jvm_only(spark):
+    from getml_community_spark.operators.lm import bigram_lm_score
+    from getml_community_spark.operators.textstats import repetition_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for frame in (bigram_lm_score(docs), repetition_stats(docs)):
+        plan = _plan(frame)
+        assert "Python" not in plan  # no UDFs anywhere in either pipeline
+        # token-key joins/aggs only — bounded shuffle count
+        assert plan.count("Exchange hashpartitioning") <= 6, plan
