@@ -1342,6 +1342,30 @@ def q_seasonal_decompose(spark, sf):
     )
 
 
+def q_line_dedup(spark, sf):
+    """C4-style GLOBAL line dedup (Raffel et al. 2020: drop any line
+    occurring more than once in the corpus, keep the first occurrence,
+    reassemble). Each document becomes three lines — its own text, a
+    per-source footer, a corpus-wide footer — so the query exercises
+    cross-document winners at several granularities plus ordered
+    reassembly (md5-compared)."""
+    from getml_community_spark.operators.dedup import line_dedup
+
+    docs = _load(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsource footer "),
+            F.col("source"),
+            F.lit("\nshared corpus footer line"),
+        ).alias("text"),
+    )
+    out = line_dedup(docs, "text", "doc_id", key="norm")
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_lines", "n_kept"
+    )
+
+
 _REP_THRESHOLDS = {
     2: 0.20, 3: 0.18, 4: 0.16,
     5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
@@ -1813,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_30m": q_sessions_30m,
         "lm_perplexity": q_lm_perplexity,
         "repetition_stats": q_repetition_stats,
+        "line_dedup": q_line_dedup,
         "stratified_sample": q_stratified_sample,
         "pack_stats": q_pack_stats,
         "gopher_quality": q_gopher_quality,
@@ -2550,6 +2575,43 @@ def oracle_sql() -> dict[str, str]:
               ON t.user_id = sea.user_id AND t.phase = sea.phase
         """,
         "repetition_stats": _repetition_oracle_sql(),
+        "line_dedup": r"""
+            -- global first-occurrence line dedup + ordered reassembly;
+            -- winner = min (doc_id, pos) per normalized line
+            WITH aug AS (
+              SELECT doc_id,
+                     text || chr(10) || 'source footer ' || source
+                          || chr(10) || 'shared corpus footer line' AS text
+              FROM documents
+            ), ls AS (
+              SELECT doc_id, i - 1 AS pos, parts[i] AS line,
+                     lower(trim(regexp_replace(parts[i], '\s+', ' ', 'g')))
+                       AS norm
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+                    FROM aug), unnest(range(1, len(parts) + 1)) AS t(i)
+            ), ranked AS (
+              SELECT *, CASE WHEN norm = '' THEN 1 ELSE
+                       row_number() OVER (PARTITION BY norm
+                                          ORDER BY doc_id, pos) END AS rk
+              FROM ls
+            ), kept AS (
+              SELECT doc_id, pos, line, norm FROM ranked WHERE rk = 1
+            ), asm AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS new_text,
+                     CAST(sum(CASE WHEN norm <> '' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_kept
+              FROM kept GROUP BY 1
+            ), tot AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN norm <> '' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_lines
+              FROM ls GROUP BY 1
+            )
+            SELECT t.doc_id, md5(coalesce(a.new_text, '')) AS text_md5,
+                   t.n_lines, coalesce(a.n_kept, 0) AS n_kept
+            FROM tot t LEFT JOIN asm a ON t.doc_id = a.doc_id
+        """,
         "lm_perplexity": """
             -- corpus-trained add-0.1 bigram LM; per-bigram ln-probs
             -- quantized to micro-unit longs -> order-independent sums

@@ -63,6 +63,7 @@ HEADLINE = [
     "sessions_30m",
     "lm_perplexity",
     "repetition_stats",
+    "line_dedup",
 ]
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "ngram_jaccard",
     "embedding_near_dups",
     "lsh_bucket_occupancy",
+    "line_dedup",
 ]
 
 # 64-bit mixing constants for the hash families (public xxhash-style odd
@@ -581,3 +582,75 @@ def embedding_near_dups(
         )
     )
     return scored.where(F.col("cosine") >= threshold)
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key: str = "norm",
+) -> DataFrame:
+    """C4-style GLOBAL line deduplication (Raffel et al. 2020 §2.2:
+    "we removed any line that occurred more than once in the corpus"):
+    every normalized non-empty line is kept only at its FIRST corpus
+    occurrence (min (doc, position) — deterministic), then each
+    document's surviving lines reassemble in original order.
+
+    Returns (id, text, n_lines, n_kept) — text is the reassembled
+    document (possibly empty), n_lines/n_kept count non-empty lines.
+
+    ``key="norm"`` dedups on the normalized line string (exact,
+    oracle-checkable); ``key="hash"`` moves only a 64-bit fingerprint
+    through the winner shuffle — the corpus-scale shape (collision odds
+    ~n²/2⁶⁵; a collision drops one innocent line, acceptable for
+    training-data curation).
+
+    Scale shape: posexplode → winner agg on the line key → semi-join
+    back → per-doc ordered reassembly. Lines cross the shuffles, never
+    whole documents; the reassembly groupBy carries (pos, line) pairs
+    only for surviving lines.
+    """
+    if key not in ("norm", "hash"):
+        raise ValueError(key)
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.lower(F.trim(F.regexp_replace(F.col("line"), r"\s+", " ")))
+    keyed = lines.withColumn(
+        "__k", F.xxhash64(norm) if key == "hash" else norm
+    ).withColumn("__empty", norm == "")
+    winners = (
+        keyed.where(~F.col("__empty"))
+        .groupBy("__k")
+        .agg(
+            F.min(F.struct("id", "pos")).alias("__w"),
+        )
+        .select("__k", F.col("__w.id").alias("__wid"), F.col("__w.pos").alias("__wpos"))
+    )
+    kept = keyed.join(winners, "__k", "left").where(
+        F.col("__empty")
+        | ((F.col("id") == F.col("__wid")) & (F.col("pos") == F.col("__wpos")))
+    )
+    out = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("__text"),
+        F.sum(F.when(~F.col("__empty"), 1).otherwise(0)).alias("n_kept"),
+    )
+    totals = keyed.groupBy("id").agg(
+        F.sum(F.when(~F.col("__empty"), 1).otherwise(0)).alias("n_lines")
+    )
+    return (
+        totals.join(out, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

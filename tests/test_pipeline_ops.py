@@ -494,3 +494,34 @@ def test_bmp_decode_query_contract(spark):
     out = entrymod.queries()["bmp_decode"](spark, "/root/testdata/sf0.001")
     pdf = out.limit(5).toPandas()
     assert (pdf["width"] == 8).all() and (pdf["height"] == 8).all()
+
+
+def test_line_dedup_semantics(spark):
+    """C4 global line dedup: first occurrence wins (min doc, pos),
+    normalization merges whitespace/case variants, empty lines and
+    line order survive reassembly, hash mode agrees with norm mode."""
+    from getml_community_spark.operators.dedup import line_dedup
+
+    rows = [
+        (0, "unique alpha\nshared boilerplate line\nunique beta"),
+        (1, "shared boilerplate line\nunique gamma\n\nunique delta"),
+        (2, "Shared   Boilerplate Line\nunique epsilon"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert out[0]["text"] == rows[0][1]          # winner keeps all lines
+    assert out[1]["text"] == "unique gamma\n\nunique delta"
+    assert out[2]["text"] == "unique epsilon"    # normalized variant dropped
+    assert (out[3]["text"], out[3]["n_lines"], out[3]["n_kept"]) == ("", 0, 0)
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2
+
+    hashed = {r["doc_id"]: r for r in line_dedup(df, key="hash").collect()}
+    assert {k: v["text"] for k, v in hashed.items()} == {
+        k: v["text"] for k, v in out.items()
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        line_dedup(df, key="bogus")
