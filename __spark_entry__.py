@@ -1366,10 +1366,9 @@ def q_line_dedup(spark, sf):
     )
 
 
-_REP_THRESHOLDS = {
-    2: 0.20, 3: 0.18, 4: 0.16,
-    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
-}
+from getml_community_spark.operators.textstats import (  # noqa: E402
+    REPETITION_THRESHOLDS as _REP_THRESHOLDS,
+)
 
 
 def q_repetition_stats(spark, sf):
@@ -1601,9 +1600,9 @@ def q_pii_redact(spark, sf):
     augmented text from doc_id, so the oracle exercises the real
     regex-count and regex-redact paths (dialect-portable patterns, no
     lookarounds; DuckDB needs the 'g' flag where Spark replaces all by
-    default). The redacted text is compared via md5."""
-    from getml_community_spark.operators.pii import pii_redact, pii_stats
-
+    default). The redacted text is compared via md5. Counts and
+    redaction build from the operator module's PII_PATTERNS (single
+    source of truth) in ONE projection — one scan, no join."""
     docs = _load(spark, sf, "documents")
     inject = F.concat(
         F.col("text"),
@@ -2494,12 +2493,16 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w2 AS (PARTITION BY user_id, floor(epoch(ts)/86400))
             ), z AS (
               SELECT key, window_epoch, n, CAST(floor(i * 8 / n) AS INT) AS seg,
-                     CASE WHEN sd = 0 THEN 0.0
-                          ELSE floor((v - mu)/sd*1e6+0.5)/1e6 END AS z
+                     CASE WHEN sd = 0 THEN CAST(0 AS BIGINT)
+                          ELSE CAST(floor((v - mu)/sd*1e6+0.5) AS BIGINT)
+                     END AS z_u
               FROM ranked
             ), paa AS (
+              -- exact long sum / single division (order-independent),
+              -- mirroring the engine's micro-unit PAA arithmetic
               SELECT key, window_epoch, n, seg,
-                     floor(avg(z)*1e6+0.5)/1e6 AS paa
+                     floor(CAST(sum(z_u) AS BIGINT) / count(*) + 0.5)/1e6
+                       AS paa
               FROM z GROUP BY 1,2,3,4
             ), lett AS (
               SELECT key, window_epoch, n, seg,
@@ -2585,7 +2588,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), ls AS (
               SELECT doc_id, i - 1 AS pos, parts[i] AS line,
-                     lower(trim(regexp_replace(parts[i], '\s+', ' ', 'g')))
+                     lower(trim(regexp_replace(parts[i], '[ \t\n\f\r]+', ' ', 'g')))
                        AS norm
               FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
                     FROM aug), unnest(range(1, len(parts) + 1)) AS t(i)

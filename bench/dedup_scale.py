@@ -106,7 +106,9 @@ def replicate_embeddings(spark, replicas: int):
 
 
 def timed(fn, warm: int = 1, reps: int = 2) -> tuple[float, int]:
-    rows = fn()
+    rows = None
+    for _ in range(warm):
+        rows = fn()
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()

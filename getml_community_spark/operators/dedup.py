@@ -616,10 +616,16 @@ def line_dedup(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
-    norm = F.lower(F.trim(F.regexp_replace(F.col("line"), r"\s+", " ")))
+    # explicit whitespace class, NOT \s: Java's \s includes \x0B while
+    # RE2's (the DuckDB oracle) does not — the one place the dialects'
+    # SEMANTICS diverge rather than their syntax
+    norm = F.lower(F.trim(F.regexp_replace(F.col("line"), r"[ \t\n\f\r]+", " ")))
     keyed = lines.withColumn(
         "__k", F.xxhash64(norm) if key == "hash" else norm
     ).withColumn("__empty", norm == "")
+    # three consumers (winner agg, kept-join probe, totals) share no
+    # subtree — barrier so the corpus explode+normalize runs once
+    keyed = keyed.localCheckpoint(eager=False)
     winners = (
         keyed.where(~F.col("__empty"))
         .groupBy("__k")

@@ -41,14 +41,14 @@ def bigram_lm_score(
     corpus); documents with < 2 tokens get no row (no bigrams)."""
     if k <= 0:
         raise ValueError("k must be > 0")
-    from .textstats import word_tokens
+    from .textstats import _spread, word_tokens
 
     toks = word_tokens(F.col(text_col))
-    # bind the token array in its own projection so the interpreted
-    # tokenizer runs once per row, not once per bigram (CSE misses the
-    # '[^a-z0-9']+' split pattern — measured 24x on decontamination
-    # before the same fix)
-    base = df.select(F.col(id_col).alias("id"), toks.alias("__ws")).where(
+    # spread narrow inputs before the interpreted tokenizer, and bind
+    # the token array in its own projection so the tokenizer runs once
+    # per row, not once per bigram (CSE misses the '[^a-z0-9']+' split
+    # pattern — measured 24x on decontamination before the same fix)
+    base = _spread(df).select(F.col(id_col).alias("id"), toks.alias("__ws")).where(
         F.size("__ws") >= 2  # guard BEFORE sequence(): sequence(1, 0)
         # is a DESCENDING [1, 0] in Spark, not empty
     )
@@ -61,6 +61,10 @@ def bigram_lm_score(
             )
         ).alias("bg"),
     ).select("id", "bg.w1", "bg.w2")
+    # four consumers (bigram counts, context counts, vocab, scoring
+    # join) share no subtree — without a barrier one action tokenizes
+    # and explodes the corpus four times (the decompose lesson)
+    pairs = pairs.localCheckpoint(eager=False)
 
     cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
     cu = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("__cu"))

@@ -206,6 +206,8 @@ def decode_png(payload: bytes, check_crc: bool = True) -> np.ndarray:
     idat = bytearray()
     while pos + 8 <= len(payload):
         (size,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + size > len(payload):
+            raise ValueError("truncated PNG chunk")
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + size]
         if check_crc:

@@ -11,12 +11,14 @@ motif grouping).
 
 Pipeline (all JVM expressions):
 1. z-normalize each (key, window) series: z = (x - μ) / σ (population
-   σ; constant series → all-zero z). z is rounded to 6 decimals with
-   the IEEE-pure floor(x*1e6+0.5)/1e6 so letters are reproducible
-   cross-engine.
+   σ; constant series → all-zero z), quantized immediately to
+   micro-unit INTEGERS (floor(z*1e6+0.5) as long).
 2. PAA: split the (ts, value)-ordered series into ``n_segments``
-   equal-count segments (segment of 0-based row i = floor(i * S / n))
-   and average z per segment.
+   equal-count segments (segment of 0-based row i = floor(i * S / n));
+   the segment mean is an exact long sum over the quantized z divided
+   once — order-independent, so letters can't flip at floor boundaries
+   the way a float avg() can (μ/σ over the raw doubles remain the one
+   inherently order-sensitive step).
 3. Symbolize each PAA mean against the standard-normal quantile
    breakpoints for the alphabet size; concatenate letters in segment
    order into the SAX word.
@@ -40,12 +42,6 @@ BREAKPOINTS = {
 }
 
 _LETTERS = "abcdefgh"
-
-
-def _round6(c: Column) -> Column:
-    # IEEE-pure 6-decimal rounding — identical in Spark and DuckDB
-    # (round() half-up ties differ between the engines' repr paths)
-    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
 def _letter(paa: Column, alphabet: int) -> Column:
@@ -96,16 +92,29 @@ def sax_symbolize(
         F.avg("v").over(grp).alias("mu"),
         F.sqrt(F.var_pop("v").over(grp)).alias("sd"),
     )
-    z = F.when(F.col("sd") == 0, F.lit(0.0)).otherwise(
-        _round6((F.col("v") - F.col("mu")) / F.col("sd"))
+    # z is quantized to micro-unit INTEGERS immediately; the PAA mean
+    # then comes from an exact long sum and a single exact division —
+    # a float avg() of the z values re-rounds an order-dependent sum
+    # and can flip a letter at a floor boundary (the decompose/cusum
+    # lesson). The only remaining float aggregation is mu/sd over the
+    # raw doubles, where order sensitivity is inherent to the input.
+    z_u = F.when(F.col("sd") == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            (F.col("v") - F.col("mu")) / F.col("sd") * F.lit(1e6) + F.lit(0.5)
+        ).cast("long")
     )
     seg = F.floor(F.col("i") * n_segments / F.col("n")).cast("int")
     segs = (
         ranked.select(
-            "key", "window_epoch", "n", seg.alias("seg"), z.alias("z")
+            "key", "window_epoch", "n", seg.alias("seg"), z_u.alias("z_u")
         )
         .groupBy("key", "window_epoch", "n", "seg")
-        .agg(_round6(F.avg("z")).alias("paa"))
+        .agg(
+            (
+                F.floor(F.sum("z_u") / F.count(F.lit(1)) + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("paa")
+        )
     )
     lettered = segs.select(
         "key",

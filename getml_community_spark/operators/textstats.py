@@ -20,6 +20,8 @@ __all__ = [
     "vocabulary",
     "text_stats",
     "gopher_quality",
+    "repetition_stats",
+    "REPETITION_THRESHOLDS",
     "ngram_contamination",
     "tfidf_topk",
 ]
@@ -156,6 +158,14 @@ def _spread(df: DataFrame) -> DataFrame:
 _GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+# Rae et al. 2021 Table A1 thresholds — the single source of truth for
+# both the engine and the contract oracle (imported by __spark_entry__)
+REPETITION_THRESHOLDS = {
+    2: 0.20, 3: 0.18, 4: 0.16,
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+}
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -188,10 +198,7 @@ def repetition_stats(
     are exact-integer quotients quantized at 6 decimals, so the whole
     table is reproducible cross-engine.
     """
-    thresholds = {
-        2: 0.20, 3: 0.18, 4: 0.16,
-        5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
-    }
+    thresholds = REPETITION_THRESHOLDS
     df = _spread(df)
     ws = word_tokens(F.col(text_col))
     base = df.select(

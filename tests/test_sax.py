@@ -16,11 +16,17 @@ def _numpy_sax(values, n_segments=8, alphabet=4):
     v = np.asarray(values, dtype=np.float64)
     n = len(v)
     sd = v.std()  # population
-    z = np.zeros(n) if sd == 0 else np.floor((v - v.mean()) / sd * 1e6 + 0.5) / 1e6
+    # micro-unit integer z, exact long-sum PAA (engine arithmetic)
+    z_u = (
+        np.zeros(n, dtype=np.int64)
+        if sd == 0
+        else np.floor((v - v.mean()) / sd * 1e6 + 0.5).astype(np.int64)
+    )
     segs = (np.arange(n) * n_segments) // n
     word = ""
     for s in sorted(set(segs)):
-        paa = np.floor(z[segs == s].mean() * 1e6 + 0.5) / 1e6
+        grp = z_u[segs == s]
+        paa = np.floor(grp.sum() / len(grp) + 0.5) / 1e6
         bps = BREAKPOINTS[alphabet]
         k = sum(paa >= b for b in bps)
         word += LETTERS[k]
