@@ -35,6 +35,7 @@ __all__ = [
     "stream_exact_dedup",
     "stream_anomaly",
     "stream_cusum",
+    "stream_sessions",
 ]
 
 
@@ -87,6 +88,47 @@ def stream_rollup(
         .groupBy(F.col(source_col).alias("source"), w.alias("w"))
         .agg(*_core_aggs(value_col, sec, _is_integral(stream, value_col)))
         .select("source", F.col("w.start").alias("bucket_start"), *CORE_AGG_COLS)
+    )
+
+
+def stream_sessions(
+    stream: DataFrame,
+    gap_seconds: int,
+    watermark: str = "2 hours",
+    source_col: str = "source",
+    ts_col: str = "event_time",
+) -> DataFrame:
+    """Streaming gap-based sessionization on Spark's NATIVE
+    ``session_window``: a session closes once the watermark passes its
+    end (last event + gap) and the summary row emits exactly once
+    (append mode). Output: (source, t_start, t_end, duration_s,
+    n_events) — epochs as longs, matching ``session_summary``.
+
+    Boundary nuance vs :func:`..operators.sessionize.sessionize`: the
+    batch operator keeps events exactly ``gap_seconds`` apart in ONE
+    session (split on strictly-greater); ``session_window`` half-open
+    windows [ts, ts+gap) split them. Pass ``gap_seconds + 1`` here when
+    parity with the batch ids matters (pytest pins both behaviors).
+    """
+    if gap_seconds <= 0:
+        raise ValueError("gap_seconds must be > 0")
+    sw = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(source_col).alias("source"), sw.alias("w"))
+        .agg(
+            F.min(epoch(F.col(ts_col))).alias("t_start"),
+            F.max(epoch(F.col(ts_col))).alias("t_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "source",
+            "t_start",
+            "t_end",
+            (F.col("t_end") - F.col("t_start")).alias("duration_s"),
+            "n_events",
+        )
     )
 
 

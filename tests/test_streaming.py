@@ -342,3 +342,77 @@ def test_stream_cusum_matches_batch(spark, tmp_path):
     assert np.allclose(got["s_pos"], want["s_pos"], atol=0)
     assert np.allclose(got["s_neg"], want["s_neg"], atol=0)
     assert got["alarm"].sum() > 0  # both creeps actually fired
+
+
+def test_stream_sessions_match_batch_summary(spark, tmp_path):
+    """Native session_window streaming sessions == batch session_summary
+    on the same events (gap+1 for the documented boundary difference:
+    the batch operator splits on strictly-greater, session_window's
+    half-open [ts, ts+gap) splits at exactly gap). Sessions span the
+    micro-batch boundary (two files, maxFilesPerTrigger=1)."""
+    import os
+
+    import pandas as pd
+
+    from getml_community_spark.operators.sessionize import session_summary
+    from getml_community_spark.streaming.stream_rollup import stream_sessions
+
+    rows = []
+    for src in ("a", "b"):
+        base = 1_700_000_000
+        # session 1: three events, then a >30min gap, then session 2
+        for off in (0, 60, 1800):  # 1800 == gap: batch keeps together
+            rows.append((src, base + off))
+        for off in (7200, 7260):
+            rows.append((src, base + off))
+        # flush event: pushes the final watermark past sessions 1-2 so
+        # append mode emits them (its own session stays open and is
+        # excluded from the comparison)
+        rows.append((src, base + 90_000))
+    pdf = pd.DataFrame(rows, columns=["source", "e"])
+    pdf["event_time"] = pd.to_datetime(pdf["e"], unit="s")
+    pdf = pdf.drop(columns=["e"]).sort_values("event_time")
+
+    src_dir = str(tmp_path / "ev")
+    os.makedirs(src_dir, exist_ok=True)
+    cut = pd.Timestamp("1970-01-01") + pd.Timedelta(seconds=1_700_000_000 + 900)
+    pdf[pdf.event_time < cut].to_parquet(
+        os.path.join(src_dir, "a.parquet"), coerce_timestamps="us"
+    )
+    pdf[pdf.event_time >= cut].to_parquet(
+        os.path.join(src_dir, "b.parquet"), coerce_timestamps="us"
+    )
+
+    stream = (
+        spark.readStream.schema("source string, event_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream_sessions(stream, 1801, watermark="0 seconds")  # gap+1 →
+        # batch-parity boundaries; zero delay so availableNow closes
+        # every session the flush event's watermark passes
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.sql("SELECT * FROM sessions_stream")
+        .toPandas()
+        .sort_values(["source", "t_start"])
+        .reset_index(drop=True)
+    )
+    batch = spark.createDataFrame(pdf)
+    want = (
+        session_summary(batch, 1800, key_col="source", ts_col="event_time")
+        .toPandas()
+        .sort_values(["key", "t_start"])
+        .reset_index(drop=True)
+    )
+    want = want[want["t_start"] < 1_700_090_000].reset_index(drop=True)
+    assert len(got) == len(want) == 4  # 2 sessions x 2 sources
+    for col in ("t_start", "t_end", "duration_s", "n_events"):
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
