@@ -51,6 +51,7 @@ def clean_corpus(
     contamination_ngram: int = 5,
     transitive: bool = False,
     repetition: bool = False,
+    dedup_lines: bool = False,
     redact_pii: bool = False,
     report: bool = False,
 ) -> tuple[DataFrame, CleanReport]:
@@ -60,6 +61,10 @@ def clean_corpus(
     1. gopher  — Gopher/MassiveText quality rules (keep == true);
                  ``repetition=True`` adds the Table A1 repetition
                  sub-table (top/dup n-gram char fractions) as stage 1b
+    1c. lines  — ``dedup_lines=True`` applies C4 global line dedup
+                 (first corpus occurrence wins; documents REASSEMBLE
+                 with surviving lines — mutates text, runs before the
+                 document-level dedups like the C4 recipe)
     2. exact   — exact dedup on normalized text (keep min id)
     3. near    — MinHash-LSH near-dedup at ``jaccard_threshold``
                  (``transitive=True`` → one survivor per connected
@@ -98,6 +103,18 @@ def clean_corpus(
         )
         out = note(
             "repetition", out.join(rep_keep.select(id_col), id_col, "left_semi")
+        )
+
+    if dedup_lines:
+        from .dedup import line_dedup
+
+        deduped = line_dedup(out, text_col, id_col).select(id_col, text_col)
+        others = [c for c in out.columns if c not in (id_col, text_col)]
+        out = note(
+            "lines",
+            deduped.join(out.select(id_col, *others), id_col)
+            if others
+            else deduped,
         )
 
     # exact_dedup returns (id, dup_count) winners — semi-join to keep rows

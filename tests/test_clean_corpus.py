@@ -114,3 +114,28 @@ def test_clean_corpus_repetition_stage(spark):
     assert stages["gopher"] == 2  # both pass the word-level rules
     assert stages["repetition"] == 1  # the spam doc trips Table A1
     assert [r["doc_id"] for r in out.select("doc_id").collect()] == [0]
+
+
+def test_clean_corpus_line_dedup_stage(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs away "
+        "to have a long rest with all of the other animals that live in "
+        "the deep dark forest beyond the hills where nobody ever goes"
+    )
+    other = (
+        "a completely different second document discusses seventeen "
+        "unrelated topics about rivers mountains oceans and the stars "
+        "that shine above the quiet village where everyone sleeps now"
+    )
+    rows = [
+        (0, good + "\ncommon footer line"),
+        (1, other + "\ncommon footer line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, rep = clean_corpus(
+        df, min_words=20, min_stop_hits=1, dedup_lines=True, report=True
+    )
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert "common footer line" in texts[0]      # first occurrence kept
+    assert "common footer line" not in texts[1]  # later occurrence stripped
+    assert dict(rep.stages)["lines"] == 2        # mutates, never drops
