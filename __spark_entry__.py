@@ -662,8 +662,11 @@ def q_fastprop_features(spark, sf):
 def _battery_full_oracle_sql() -> str:
     """Render the battery_full_1h oracle from the SAME AGG_SQL templates
     the to_sql transpiler ships (plans/to_sql.py) — one source of truth
-    for every aggregation's portable SQL."""
-    from getml_community_spark.plans.to_sql import AGG_SQL
+    for every aggregation's portable SQL. Rendering goes through
+    oracle_metric_sql, whose ``+ 0.0`` normalizes DuckDB's signed zero
+    (round(-1e-12, 6) = -0.0) to Spark's BigDecimal +0.0 — the r4
+    driver-gate byte mismatch (146 skew cells at sf0.01)."""
+    from getml_community_spark.plans.to_sql import oracle_metric_sql
 
     metrics = [
         # NOTE: order must match battery()'s emission order (the driver's
@@ -679,7 +682,7 @@ def _battery_full_oracle_sql() -> str:
     v, t = "value", "epoch(ts)"
     tr = "(floor(epoch(ts) / 3600) * 3600 + 3600)"
     cols = ",\n               ".join(
-        f"round({AGG_SQL[m].format(v=v, t=t, tr=tr)}, 6) AS {m}" for m in metrics
+        f"{oracle_metric_sql(m, v, t, tr)} AS {m}" for m in metrics
     )
     return f"""
         SELECT user_id,
@@ -2121,15 +2124,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(exp(ln(0.5) * (epoch(date_trunc('hour', ts)) + 3600 - epoch(ts)) / 3600.0) * value)
                          / sum(exp(ln(0.5) * (epoch(date_trunc('hour', ts)) + 3600 - epoch(ts)) / 3600.0)), 6)
                          AS ewma_1h,
+                   -- + 0.0 normalizes DuckDB's signed zero (round(-1e-12, 6)
+                   -- = -0.0) to Spark's BigDecimal +0.0 on subtraction-capable
+                   -- metrics (r4 driver-gate byte class)
                    round(CASE WHEN var_pop(epoch(date_trunc('hour', ts)) + 3600 - epoch(ts)) = 0
                          THEN avg(value)
                          ELSE avg(value)
                               - avg(epoch(date_trunc('hour', ts)) + 3600 - epoch(ts))
                               * (covar_pop(epoch(date_trunc('hour', ts)) + 3600 - epoch(ts), value)
                                  / var_pop(epoch(date_trunc('hour', ts)) + 3600 - epoch(ts)))
-                         END, 6) AS trend,
+                         END, 6) + 0.0 AS trend,
                    round(CASE WHEN avg(value) = 0 THEN NULL
-                         ELSE var_pop(value) / avg(value) END, 6) AS variation_coefficient
+                         ELSE var_pop(value) / avg(value) END, 6) + 0.0 AS variation_coefficient
             FROM events GROUP BY 1, 2
         """,
         "battery_full_1h": _battery_full_oracle_sql(),
@@ -2157,9 +2163,10 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT user_id, bucket_start,
+                   -- + 0.0: signed-zero normalization (see battery_1h note)
                    round(CASE WHEN sw IS NULL OR sw = 0 THEN NULL
                          WHEN xx = 0 OR vx = 0 THEN my
-                         ELSE my - mx * (xy / xx) END, 6) AS ewma_trend_1h
+                         ELSE my - mx * (xy / xx) END, 6) + 0.0 AS ewma_trend_1h
             FROM c
         """,
         "two_pass_1h": """
@@ -2235,9 +2242,9 @@ def oracle_sql() -> dict[str, str]:
                      count(CASE WHEN e.user_id IS NULL THEN NULL WHEN e.event_type = 'click' THEN 1.0 ELSE 0.0 END) AS click_count,
                      round(coalesce(sum(CASE WHEN e.user_id IS NULL THEN NULL WHEN e.event_type = 'click' THEN 1.0 ELSE 0.0 END), 0.0), 6) AS click_sum,
                      round(avg(CASE WHEN e.user_id IS NULL THEN NULL WHEN e.event_type = 'click' THEN 1.0 ELSE 0.0 END), 6) AS click_avg,
-                     round(avg(o.o_totalprice - 1000.0 * e.value), 6) AS du_avg,
-                     round(min(o.o_totalprice - 1000.0 * e.value), 6) AS du_min,
-                     round(max(o.o_totalprice - 1000.0 * e.value), 6) AS du_max
+                     round(avg(o.o_totalprice - 1000.0 * e.value), 6) + 0.0 AS du_avg,
+                     round(min(o.o_totalprice - 1000.0 * e.value), 6) + 0.0 AS du_min,
+                     round(max(o.o_totalprice - 1000.0 * e.value), 6) + 0.0 AS du_max
               FROM orders o LEFT JOIN events e
                 ON e.user_id = o.o_custkey
                AND epoch(e.ts) <= {pop} - 3600

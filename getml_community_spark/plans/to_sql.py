@@ -16,7 +16,7 @@ runs the transpiled SQL on DuckDB against the Spark operators.
 
 from __future__ import annotations
 
-__all__ = ["asof_feature_sql", "rollup_sql", "AGG_SQL"]
+__all__ = ["asof_feature_sql", "rollup_sql", "AGG_SQL", "oracle_metric_sql"]
 
 
 def _w(ts_pop: str, horizon: float, memory: float | None, ts_peri: str) -> str:
@@ -167,6 +167,23 @@ _HALF_LIVES_S = {
 for _name, _h in _HALF_LIVES_S.items():
     AGG_SQL[f"ewma_{_name}"] = _ewma_sql(_h)
     AGG_SQL[f"ewma_trend_{_name}"] = _ewma_trend_sql(_h)
+
+
+def oracle_metric_sql(metric: str, v: str, t: str, tr: str, digits: int = 6) -> str:
+    """Render one AGG_SQL metric as a rounded, signed-zero-normalized
+    oracle expression: ``(round(expr, digits) + 0.0)``.
+
+    The ``+ 0.0`` is load-bearing for byte-hash gates: DuckDB's
+    ``round`` keeps IEEE signed zero — ``round(-1e-12, 6)`` returns
+    ``-0.0`` — while Spark's ``F.round`` goes through BigDecimal, which
+    has no signed zero and emits ``+0.0``. The two are equal under
+    ``==`` but differ byte-wise (146 ``skew`` cells at sf0.01, round-4
+    driver gate). IEEE addition normalizes: ``-0.0 + 0.0 == +0.0`` in
+    round-to-nearest, and is exact (a no-op) for every other value, so
+    this is safe to apply to EVERY double metric, sign-capable or not.
+    NULL propagates (``NULL + 0.0`` is NULL).
+    """
+    return f"(round({AGG_SQL[metric].format(v=v, t=t, tr=tr)}, {digits}) + 0.0)"
 
 
 def asof_feature_sql(

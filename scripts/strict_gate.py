@@ -94,7 +94,11 @@ def main() -> int:
                 g, w = got[c], want[c]
                 if pd.api.types.is_float_dtype(w) or pd.api.types.is_float_dtype(g):
                     gv, wv = g.to_numpy(np.float64), w.to_numpy(np.float64)
-                    eq = (gv == wv) | (np.isnan(gv) & np.isnan(wv))
+                    # byte-faithful like the driver's hash: require the
+                    # sign bit to match too (-0.0 != +0.0 there; r4 class)
+                    eq = (
+                        (gv == wv) & (np.signbit(gv) == np.signbit(wv))
+                    ) | (np.isnan(gv) & np.isnan(wv))
                 else:
                     eq = (g == w) | (g.isna() & w.isna())
                 eq = np.asarray(eq)

@@ -166,3 +166,30 @@ def test_full_battery_transpiles(spark, ddb):
         close = np.isclose(g, w, rtol=1e-7, atol=1e-9, equal_nan=True)
         ok = both_nan | close
         assert ok.all(), (m, g[~ok][:4], w[~ok][:4])
+
+
+def test_oracle_metric_sql_normalizes_signed_zero(ddb):
+    """Round-4 driver-gate byte class: DuckDB round keeps IEEE -0.0 on
+    tiny negatives while Spark's F.round (BigDecimal) has no signed
+    zero. oracle_metric_sql's trailing + 0.0 must normalize, and must
+    be a bit-exact no-op everywhere else (incl. NULL)."""
+    import numpy as np
+
+    from getml_community_spark.plans.to_sql import oracle_metric_sql
+
+    neg, pos, null = ddb.execute(
+        "SELECT round(-1e-12, 6) + 0.0, round(3.7e-6, 6) + 0.0,"
+        " round(NULL, 6) + 0.0"
+    ).fetchone()
+    assert not np.signbit(neg) and neg == 0.0
+    assert pos == 4e-6
+    assert null is None
+
+    # the rendered battery metric itself: skew of a tiny-negative-skew
+    # group rounds to zero and must come out +0.0
+    sql = oracle_metric_sql("skew", "v", "epoch(ts)", "0")
+    got = ddb.execute(
+        f"SELECT {sql} AS skew FROM (VALUES (-1.0000001, TIMESTAMP '2024-01-01'),"
+        f" (0.0, TIMESTAMP '2024-01-01'), (1.0, TIMESTAMP '2024-01-01')) t(v, ts)"
+    ).fetchone()[0]
+    assert got == 0.0 and not np.signbit(got)
