@@ -1143,6 +1143,62 @@ def q_jpeg_decode(spark, sf):
     )
 
 
+def q_mjpeg_frames(spark, sf):
+    """REAL video decode end-to-end, no ffmpeg: each document renders a
+    3-frame 16x16 MJPEG AVI (RIFF container, one baseline JPEG per
+    00dc chunk at 10 fps) with constant 8x8 blocks — block k of frame f
+    = 128 + ((n_chars*(k+3) + 5*f) % 7 - 3) * dc_quantum — and
+    sample_video_frames(decoder='mjpeg') walks the container + decodes
+    every frame through the pure-numpy T.81 pipeline. Constant blocks
+    round-trip EXACTLY (zero AC energy, DC on the quantization grid),
+    so the oracle recomputes per-frame stats from the formula."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from getml_community_spark.operators.jpeg import dc_quantum
+    from getml_community_spark.operators.mjpeg import encode_avi_mjpeg
+    from getml_community_spark.operators.multimodal import sample_video_frames
+
+    q = dc_quantum(90)  # 3 at quality 90
+
+    @pandas_udf("binary")
+    def _render(seed):  # pd.Series[int] -> pd.Series[bytes]
+        out = []
+        for s in seed:
+            frames = []
+            for f in range(3):
+                blocks = np.array(
+                    [
+                        128 + ((int(s) * (k + 3) + 5 * f) % 7 - 3) * q
+                        for k in range(4)
+                    ],
+                    dtype=np.int64,
+                ).reshape(2, 2)
+                frames.append(
+                    np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+                )
+            out.append(encode_avi_mjpeg(frames, fps=10))
+        return pd.Series(out)
+
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("n_chars").cast("long").alias("__seed"),
+    )
+    payloads = docs.select("media_id", _render("__seed").alias("payload"))
+    stats = sample_video_frames(payloads, decoder="mjpeg")
+    return stats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.col("frame_idx"),
+        F.col("frame_ms"),
+        F.col("width"),
+        F.col("height"),
+        _r(F.col("mean_luma")).alias("mean_luma"),
+        F.col("min_luma"),
+        F.col("max_luma"),
+    )
+
+
 def q_wav_features(spark, sf):
     """REAL audio decode end-to-end, no external codecs: each document
     deterministically renders 64 PCM16 samples — s_k =
@@ -1788,19 +1844,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-gate query registry.
+
+    ROTATION POLICY (the driver samples the FIRST 50 entries in dict
+    order, so position IS evidence): entries are ordered by how badly
+    they need a fresh driver CORRECTNESS row —
+      1. queries with NO driver row yet (new this round, or rotated
+         out before ever being sampled);
+      2. queries whose last driver row is stale (>=1 round old) or was
+         red and has since been fixed;
+      3. recently-green queries, operator-core first;
+      4. tail (position 51+): long-stable basics, green in multiple
+         consecutive driver rounds — parked until the rotation brings
+         them back.
+    After each round, re-sort: freshly-parked entries move up as their
+    evidence ages; anything that was rotated out moves to section 1/2.
+    """
     return {
+        # -- 1: no driver row yet -------------------------------------
+        "mjpeg_frames": q_mjpeg_frames,
+        "line_dedup": q_line_dedup,
+        # -- 2: stale (last row r3) or freshly fixed (r4 red) ---------
+        "battery_full_1h": q_battery_full_1h,
+        "stratified_sample": q_stratified_sample,
+        "pack_stats": q_pack_stats,
+        "gopher_quality": q_gopher_quality,
+        "decontamination": q_decontamination,
+        "text_stats": q_text_stats,
+        "vocabulary": q_vocabulary,
+        "brute_topk": q_brute_topk,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_topk": q_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ivf_topk": q_ivf_topk,
+        # -- 3: r4-green, operator-core first -------------------------
         "rollup_1m": q_rollup_1m,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_cascade": q_rollup_1d_cascade,
         "salted_rollup_1h": q_salted_rollup_1h,
         "gapfill_1h": q_gapfill_1h,
         "gapfill_interp_1h": q_gapfill_interp_1h,
-        "json_extract": q_json_extract,
         "battery_1h": q_battery_1h,
-        "battery_full_1h": q_battery_full_1h,
         "ewma_trend_1h": q_ewma_trend_1h,
         "two_pass_1h": q_two_pass_1h,
-        "mode_1h": q_mode_1h,
         "lag_rolling_1h": q_lag_rolling_1h,
         "sliding_window": q_sliding_window,
         "gorilla_roundtrip_1m": q_gorilla_roundtrip_1m,
@@ -1808,18 +1895,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_upper_ts": q_asof_upper_ts,
         "asof_categorical_dummy": q_asof_categorical_dummy,
         "fastprop_features": q_fastprop_features,
-        "asof_multikey": q_asof_multikey,
-        "string_ops": q_string_ops,
-        "csv_roundtrip": q_csv_roundtrip,
-        "word_features": q_word_features,
-        "staging_join": q_staging_join,
-        "pricing_summary": q_pricing_summary,
-        "concat_union": q_concat_union,
-        "scalar_expressions": q_scalar_expressions,
-        "subselection_slice": q_subselection_slice,
-        "seasonal": q_seasonal,
-        "imputation": q_imputation,
-        "category_trim": q_category_trim,
         "exact_dedup": q_exact_dedup,
         "multimodal_features": q_multimodal_features,
         "bmp_decode": q_bmp_decode,
@@ -1839,19 +1914,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_30m": q_sessions_30m,
         "lm_perplexity": q_lm_perplexity,
         "repetition_stats": q_repetition_stats,
-        "line_dedup": q_line_dedup,
-        "stratified_sample": q_stratified_sample,
-        "pack_stats": q_pack_stats,
-        "gopher_quality": q_gopher_quality,
-        "decontamination": q_decontamination,
-        "text_stats": q_text_stats,
-        "vocabulary": q_vocabulary,
-        "brute_topk": q_brute_topk,
-        "minhash_dedup": q_minhash_dedup,
-        "simhash_pairs": q_simhash_pairs,
-        "lsh_topk": q_lsh_topk,
-        "embedding_near_dups": q_embedding_near_dups,
-        "ivf_topk": q_ivf_topk,
+        # -- 4: tail — multi-round-stable basics (parked this round) --
+        "mode_1h": q_mode_1h,
+        "asof_multikey": q_asof_multikey,
+        "string_ops": q_string_ops,
+        "csv_roundtrip": q_csv_roundtrip,
+        "word_features": q_word_features,
+        "staging_join": q_staging_join,
+        "pricing_summary": q_pricing_summary,
+        "concat_union": q_concat_union,
+        "scalar_expressions": q_scalar_expressions,
+        "subselection_slice": q_subselection_slice,
+        "seasonal": q_seasonal,
+        "imputation": q_imputation,
+        "category_trim": q_category_trim,
+        "json_extract": q_json_extract,
     }
 
 
@@ -2429,6 +2506,28 @@ def oracle_sql() -> dict[str, str]:
                      k -> 128 + ((n_chars*(k+3)) % 7 - 3) * 3),
                      'max') AS BIGINT) AS max_luma
             FROM documents
+        """,
+        "mjpeg_frames": """
+            -- 3-frame MJPEG AVI of constant-8x8-block frames (DC on
+            -- the q90 quantization grid, quantum 3): the container
+            -- walk + T.81 decode round-trips EXACTLY, so per-frame
+            -- stats are recomputed from the generating formula.
+            -- 10 fps -> frame_ms = frame_idx * 100. mean is x/4 of
+            -- integers (exact at 6 decimals).
+            SELECT doc_id,
+                   CAST(f.range AS INT) AS frame_idx,
+                   CAST(f.range * 100 AS BIGINT) AS frame_ms,
+                   16 AS width, 16 AS height,
+                   round(list_aggregate(list_transform(range(0, 4),
+                     k -> CAST(128 + ((n_chars*(k+3) + 5*f.range) % 7 - 3) * 3 AS DOUBLE)),
+                     'avg'), 6) AS mean_luma,
+                   CAST(list_aggregate(list_transform(range(0, 4),
+                     k -> 128 + ((n_chars*(k+3) + 5*f.range) % 7 - 3) * 3),
+                     'min') AS BIGINT) AS min_luma,
+                   CAST(list_aggregate(list_transform(range(0, 4),
+                     k -> 128 + ((n_chars*(k+3) + 5*f.range) % 7 - 3) * 3),
+                     'max') AS BIGINT) AS max_luma
+            FROM documents, range(0, 3) f
         """,
         "wav_features": """
             -- PCM16 stats of the deterministically-rendered 64-sample

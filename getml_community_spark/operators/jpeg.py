@@ -306,11 +306,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     scan_comps = []  # (comp_index, dc_tid, ac_tid)
     restart_interval = 0
     scan = None
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them (other encoders pad between segments)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone, length-less markers (TEM, stray RSTn) are
+            # legal between segments before SOS — skip
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
             break
         (ln,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + ln]

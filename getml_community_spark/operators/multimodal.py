@@ -492,11 +492,34 @@ def sample_video_frames(
     payload_col: str = "payload",
     id_col: str = "media_id",
     duration_col: str = "duration_ms",
+    decoder: str = "fake",
+    every_n: int = 1,
 ) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame offset
-    (sequence() explode — JVM-side), with the frame payload extraction
-    stubbed (deterministic byte-slice in 'fake' mode). Shows the
-    explode-then-decode shape a real ffmpeg-based sampler uses."""
+    """Frame sampling over video payloads.
+
+    decoder='mjpeg' is a REAL path: the payload is walked as a RIFF
+    MJPEG AVI and every ``every_n``-th frame is decoded through the
+    pure-numpy T.81 codec (operators/mjpeg.py — no ffmpeg needed);
+    output is one luma-stats row per sampled frame (``every_ms`` /
+    ``duration_col`` are ignored — frame timing comes from the
+    container's avih header).
+
+    decoder='fake' (default) keeps the plumbing-only shape: one output
+    row per sampled frame offset (sequence() explode — JVM-side) with
+    the frame payload extraction stubbed as a deterministic byte-slice.
+    An ffmpeg-based general-codec path would use the same
+    explode-then-decode shape but is env-blocked in this container."""
+    if decoder == "mjpeg":
+        from .mjpeg import mjpeg_frame_stats
+
+        return mjpeg_frame_stats(
+            df, every_n=every_n, payload_col=payload_col, id_col=id_col
+        )
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder={decoder!r}: only 'mjpeg' (pure-numpy) and 'fake' are "
+            "available in this container; a general path needs ffmpeg"
+        )
     frames = df.select(
         F.col(id_col),
         F.col(payload_col),

@@ -93,3 +93,19 @@ try:
         assert back.shape == (h, w) and back.dtype == np.uint8
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_fill_bytes_and_standalone_markers_tolerated():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker code, and
+    standalone length-less markers (TEM 0x01, stray RSTn) between
+    segments before SOS — other encoders emit both (round-4 advice)."""
+    px = np.clip(
+        np.add.outer(np.arange(16) * 4, np.arange(16) * 2), 0, 255
+    ).astype(np.uint8)
+    clean = encode_jpeg_gray(px, 90)
+    want = decode_jpeg_gray(clean)
+
+    # inject fill bytes + a TEM + a stray RST1 right after SOI
+    padded = clean[:2] + b"\xff\xff\xff" + b"\xff\x01" + b"\xff\xd1" + clean[2:]
+    got = decode_jpeg_gray(padded)
+    assert (got == want).all()
