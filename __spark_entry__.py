@@ -1480,10 +1480,15 @@ def _repetition_oracle_sql() -> str:
           FROM grams GROUP BY 1, 2, 3, 4
         ), per_n AS (
           -- count>=2 guard on BOTH: a once-occurring n-gram is not
-          -- repetition (mirrors the engine / DataTrove semantics)
+          -- repetition (mirrors the engine / DataTrove semantics).
+          -- top gram = argmax by COUNT with the engine's deterministic
+          -- (count, covered, gram) tie-break — DuckDB struct max is
+          -- field-order lexicographic, same as Spark's
           SELECT doc_id, chars, n,
-                 CAST(max(CASE WHEN c >= 2 THEN c * length(gram)
-                          ELSE 0 END) AS BIGINT) AS top,
+                 CAST(coalesce(
+                   (max(CASE WHEN c >= 2 THEN struct_pack(
+                        c := c, cov := c * length(gram), g := gram)
+                      END)).cov, 0) AS BIGINT) AS top,
                  CAST(sum(CASE WHEN c >= 2 THEN c * length(gram)
                           ELSE 0 END) AS BIGINT) AS dup
           FROM counts GROUP BY 1, 2, 3

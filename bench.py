@@ -125,13 +125,24 @@ def run_hot_path(spark, corpus_path: str) -> dict:
     # Warmup: spin up Python UDF workers + JIT the codegen once, so the
     # timed runs measure steady-state throughput (the regime that matters
     # at 100 TB), not one-time JVM/Python process startup. Then take the
-    # min of 3 timed runs (standard practice: min filters scheduler noise).
+    # min of timed runs (min filters scheduler noise) — but REFUSE to
+    # publish an unconverged headline: on a loaded box the walls keep
+    # falling monotonically because warmup never finished (round-4
+    # driver run: [28.7, 15.5, 13.6] published as 13.6 — a 2.3x phantom
+    # regression). Keep timing (<= 6 reps) until the two BEST walls
+    # agree within 15%; otherwise flag "converged": false in the JSON.
     pipeline()
     walls = []
-    for _ in range(3):
+    converged = False
+    for rep in range(6):
         t0 = time.time()
         stats, n_1d, n_dense = pipeline()
         walls.append(time.time() - t0)
+        if rep >= 2:
+            best, second = sorted(walls)[:2]
+            if second <= best * 1.15:
+                converged = True
+                break
     wall = min(walls)
     toks = df.agg(F.sum("n_tok")).collect()[0][0]
     # untimed: the production-shaped Gorilla ratio. The hot path encodes
@@ -154,6 +165,7 @@ def run_hot_path(spark, corpus_path: str) -> dict:
         "rows_1d": n_1d,
         "rows_dense_1h": n_dense,
         "walls": [round(w, 3) for w in walls],
+        "converged": converged,
         "gorilla_points": int(stats["pts"]),
         "gorilla_bytes": int(stats["bc"]),
         "gorilla_ratio": float(stats["br"]) / float(stats["bc"]),

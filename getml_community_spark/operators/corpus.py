@@ -15,7 +15,9 @@ runs once — the count() actions read the previous stage's cached blocks,
 never the source (pytest-proven via a scan-counting accumulator).
 Tradeoff: localCheckpoint truncates lineage without replication, so an
 executor loss mid-report restarts the job rather than recomputing tasks;
-for multi-hour cluster runs prefer a reliable ``spark.checkpoint`` dir.
+for multi-hour cluster runs pass ``checkpoint_dir=`` to switch every
+truncation in the chain to reliable ``DataFrame.checkpoint()`` into
+that store (HDFS/S3).
 """
 
 from __future__ import annotations
@@ -54,6 +56,7 @@ def clean_corpus(
     dedup_lines: bool = False,
     redact_pii: bool = False,
     report: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, CleanReport]:
     """Run the standard cleaning chain and return (clean_df, report).
 
@@ -75,15 +78,27 @@ def clean_corpus(
                  the survivors' text with placeholder tokens (the ONE
                  stage that mutates rather than drops; runs last so the
                  dedup stages hash the original text)
+
+    ``checkpoint_dir`` (opt-in) makes every lineage truncation in the
+    chain RELIABLE: report-mode stage materialization and the
+    transitive connected-components rounds write
+    ``DataFrame.checkpoint()`` blocks into that store instead of
+    executor-local localCheckpoint blocks — slower, but a lost executor
+    costs a task retry, not the whole multi-hour job.
     """
     rep = CleanReport()
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def note(name: str, frame: DataFrame) -> DataFrame:
         if report:
-            # materialize this stage ONCE: the count() fills the cached
-            # blocks and every downstream stage reads them instead of
-            # recomputing the upstream chain from the source scan
-            frame = frame.localCheckpoint(eager=False)
+            # materialize this stage ONCE: the count() fills the
+            # checkpoint blocks and every downstream stage reads them
+            # instead of recomputing the upstream chain from the source
+            if checkpoint_dir is not None:
+                frame = frame.checkpoint(eager=False)
+            else:
+                frame = frame.localCheckpoint(eager=False)
             rep.stages.append((name, frame.count()))
         return frame
 
@@ -130,6 +145,7 @@ def clean_corpus(
             threshold=jaccard_threshold,
             verify=True,
             transitive=transitive,
+            checkpoint_dir=checkpoint_dir,
         ),
     )
 

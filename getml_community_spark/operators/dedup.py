@@ -342,6 +342,7 @@ def minhash_lsh_dedup(
     verify: bool = True,
     max_bucket_size: int | None = 1000,
     transitive: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Keep-one near-dedup: drop the higher id of every candidate pair
     whose Jaccard ≥ threshold.
@@ -370,7 +371,9 @@ def minhash_lsh_dedup(
     if transitive:
         from .graph import connected_components
 
-        comp = connected_components(hits, "id_a", "id_b")
+        comp = connected_components(
+            hits, "id_a", "id_b", checkpoint_dir=checkpoint_dir
+        )
         losers = comp.where(F.col("node") != F.col("component")).select(
             F.col("node").alias(id_col)
         )

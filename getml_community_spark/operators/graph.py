@@ -23,11 +23,12 @@ Beyond", SoCC 2014 — public):
 Scale shape per round (both): a bounded number of shuffle joins /
 aggregations over (node, node) pairs — no vectors, no text, no
 driver-side rows (the convergence check moves one scalar per round).
-Frames are eagerly localCheckpoint'ed every round so lineage stays
-O(1) deep. NOTE the fault-tolerance tradeoff: localCheckpoint truncates
-lineage WITHOUT replication, so executor loss mid-job is unrecoverable
-(job retry, not task retry) — on a real cluster prefer
-``spark.checkpoint()`` to a reliable store for multi-hour runs.
+Frames are eagerly checkpointed every round so lineage stays O(1)
+deep. Default is localCheckpoint (fast, but truncates lineage WITHOUT
+replication: executor loss mid-job is unrecoverable — job retry, not
+task retry). Pass ``checkpoint_dir=`` to use reliable
+``DataFrame.checkpoint()`` into that store (HDFS/S3 on a cluster)
+instead — the right mode for multi-hour runs.
 """
 
 from __future__ import annotations
@@ -35,6 +36,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["connected_components"]
+
+
+def _ckpt(df: DataFrame, reliable: bool, eager: bool = True) -> DataFrame:
+    """Truncate lineage: reliable ``checkpoint()`` (replicated store —
+    survives executor loss) or ``localCheckpoint`` (fast, executor-local
+    blocks only)."""
+    return df.checkpoint(eager=eager) if reliable else df.localCheckpoint(eager=eager)
 
 
 def _checksum(e: DataFrame) -> tuple:
@@ -82,14 +90,16 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _cc_star(e: DataFrame, nodes: DataFrame, max_iter: int) -> DataFrame:
+def _cc_star(
+    e: DataFrame, nodes: DataFrame, max_iter: int, reliable: bool = False
+) -> DataFrame:
     """Alternate large-star/small-star until the (canonically max→min
     oriented) edge set is stable; the fixed point is one star per
     component centered at the component min."""
-    nodes = nodes.localCheckpoint(eager=True)
+    nodes = _ckpt(nodes, reliable)
     prev = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _ckpt(_small_star(_large_star(e)), reliable)
         chk = _checksum(e)
         if chk == prev:
             stars = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
@@ -103,18 +113,18 @@ def _cc_star(e: DataFrame, nodes: DataFrame, max_iter: int) -> DataFrame:
     )
 
 
-def _cc_label(e: DataFrame, max_iter: int) -> DataFrame:
-    e = (
+def _cc_label(e: DataFrame, max_iter: int, reliable: bool = False) -> DataFrame:
+    e = _ckpt(
         e.select("a", "b")
         .union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        reliable,
     )
-    labels = (
+    labels = _ckpt(
         e.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("component", F.col("node")),
+        reliable,
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -131,8 +141,8 @@ def _cc_label(e: DataFrame, max_iter: int) -> DataFrame:
                     F.col("component"), F.coalesce(F.col("__nbr"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
+        merged = _ckpt(merged, reliable)
         changed = merged.where(F.col("component") != F.col("__old")).count()
         labels = merged.select("node", "component")
         if changed == 0:
@@ -150,6 +160,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 20,
     algorithm: str = "star",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Return (node, component) with component = min node id reachable.
 
@@ -159,7 +170,16 @@ def connected_components(
     ``algorithm="star"`` (default) converges in O(log n) rounds
     regardless of component diameter; ``"label"`` is the O(diameter)
     min-label propagation. Both raise RuntimeError past ``max_iter``.
+
+    ``checkpoint_dir`` (opt-in) switches per-round lineage truncation
+    from localCheckpoint to RELIABLE ``DataFrame.checkpoint()`` into
+    that directory (sets the session's checkpoint dir): slower per
+    round (writes to the store) but survives executor loss — use on
+    multi-hour cluster runs.
     """
+    reliable = checkpoint_dir is not None
+    if reliable:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = raw.where(F.col("a") != F.col("b"))
     if algorithm == "star":
@@ -170,7 +190,7 @@ def connected_components(
             .union(raw.select(F.col("b").alias("node")))
             .distinct()
         )
-        return _cc_star(e, nodes, max_iter)
+        return _cc_star(e, nodes, max_iter, reliable)
     if algorithm == "label":
-        return _cc_label(raw, max_iter)
+        return _cc_label(raw, max_iter, reliable)
     raise ValueError(f"unknown algorithm {algorithm!r}")

@@ -34,11 +34,30 @@ def bigram_lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: float = 0.1,
+    broadcast_model: bool | str = "auto",
+    broadcast_max_types: int = 5_000_000,
 ) -> DataFrame:
     """Score each document: (id, n_bigrams, avg_nll). avg_nll is the
     mean negative ln-probability of the document's bigrams under the
     corpus-trained add-``k`` model (lower = more typical of the
-    corpus); documents with < 2 tokens get no row (no bigrams)."""
+    corpus); documents with < 2 tokens get no row (no bigrams).
+
+    ``broadcast_model`` controls the scoring join (doc bigrams x the
+    (w1, w2) model — the operator's only wide join):
+
+    - ``True`` — broadcast-hint the model frame (BroadcastHashJoin: the
+      corpus-side bigrams never shuffle). Right whenever the vocabulary
+      is bounded — model rows = distinct bigram TYPES, which Heaps' law
+      keeps far below corpus token count; ~5M types is a few hundred MB.
+    - ``False`` — plain shuffle join, the fallback for UNBOUNDED
+      vocabularies (adversarial/synthetic token streams where the type
+      count approaches the token count and a broadcast would OOM the
+      driver). Keeps the whole operator one lazy plan.
+    - ``"auto"`` (default) — count the model's rows first and broadcast
+      iff <= ``broadcast_max_types``. Costs one extra aggregation job,
+      which also eagerly materializes the shared bigram checkpoint the
+      later stages reuse.
+    """
     if k <= 0:
         raise ValueError("k must be > 0")
     from .textstats import _spread, word_tokens
@@ -91,7 +110,12 @@ def bigram_lm_score(
             .alias("__lp_u"),
         )
     )
-    scored = pairs.join(lp, ["w1", "w2"]).groupBy("id").agg(
+    if broadcast_model == "auto":
+        # one count over the (checkpointed) pairs decides; the bigram
+        # TYPE count is what lands on the driver under a broadcast
+        broadcast_model = cb.count() <= broadcast_max_types
+    model = F.broadcast(lp) if broadcast_model else lp
+    scored = pairs.join(model, ["w1", "w2"]).groupBy("id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("__lp_u").alias("__s"),
     )

@@ -104,6 +104,17 @@ def token_budget_sample(
     budget: Column = F.lit(int(default_budget))
     for s, b in sorted(budgets.items()):
         budget = F.when(F.col(strata_col) == s, F.lit(int(b))).otherwise(budget)
+    # collision-safe working names (round-4 advice): an input frame may
+    # legitimately carry 'sample_bucket'/'cum_tok' already — never
+    # overwrite or silently drop caller columns; only the audit_cols
+    # aliasing claims the public names, and loudly
+    if audit_cols:
+        clash = {"sample_bucket", "cum_tok"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"audit_cols=True would overwrite input column(s) "
+                f"{sorted(clash)}; rename them or pass audit_cols=False"
+            )
     bucket = sample_bucket(F.col(id_col), seed)
     w = Window.partitionBy(strata_col).orderBy(bucket, F.col(id_col))
     running = F.sum(F.col(token_col).cast("long")).over(w)
@@ -111,12 +122,16 @@ def token_budget_sample(
     # keep while the PREVIOUS cumulative sum is under budget: the
     # crossing document is included, everything after it drops
     out = (
-        df.withColumn("sample_bucket", bucket)
-        .withColumn("cum_tok", running)
+        df.withColumn("__sample_bucket", bucket)
+        .withColumn("__cum_tok", running)
         .withColumn("__prev_tok", prev)
         .where((F.col("__prev_tok") < budget) & (budget > 0))
         .drop("__prev_tok")
     )
-    # audit_cols keeps (sample_bucket, cum_tok) for reproducibility
+    if not audit_cols:
+        return out.drop("__sample_bucket", "__cum_tok")
+    # audit_cols exposes (sample_bucket, cum_tok) for reproducibility
     # audits and the oracle gate
-    return out if audit_cols else out.drop("sample_bucket", "cum_tok")
+    return out.withColumnRenamed(
+        "__sample_bucket", "sample_bucket"
+    ).withColumnRenamed("__cum_tok", "cum_tok")

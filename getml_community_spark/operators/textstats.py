@@ -175,7 +175,10 @@ def repetition_stats(
     :func:`gopher_quality`'s word-level rules don't cover: per document,
 
     - ``top_{2,3,4}gram_frac`` — fraction of the document's characters
-      covered by occurrences of its single most frequent word n-gram,
+      covered by occurrences of its single MOST FREQUENT word n-gram
+      (the Gopher/DataTrove definition: argmax by occurrence count;
+      count ties break deterministically toward the gram covering the
+      most characters, then the lexicographically greatest gram),
       counted only when that n-gram occurs MORE THAN ONCE (a unique
       n-gram is not repetition — the guard the public DataTrove
       implementation of this filter applies; without it every
@@ -228,9 +231,29 @@ def repetition_stats(
     )
     covered = F.col("__c") * F.length("gram")
     dup_covered = F.when(F.col("__c") >= 2, covered).otherwise(F.lit(0))
+    # top gram = argmax by COUNT (Gopher/DataTrove), not by covered
+    # chars — a longer-but-rarer gram must not win. Lexicographic
+    # struct max gives the deterministic tie-break (count, covered,
+    # gram); the count>=2 guard nulls out non-repeated grams.
+    top_struct = F.max(
+        F.when(
+            F.col("__c") >= 2,
+            F.struct(
+                F.col("__c").alias("c"),
+                covered.alias("cov"),
+                F.col("gram").alias("g"),
+            ),
+        )
+    )
     per_n = counts.groupBy("id", "__chars", "n").agg(
-        F.max(dup_covered).alias("__top"),  # count>=2 guard (see docstring)
+        top_struct.alias("__topst"),
         F.sum(dup_covered).alias("__dup"),
+    ).select(
+        "id",
+        "__chars",
+        "n",
+        F.coalesce(F.col("__topst.cov"), F.lit(0)).alias("__top"),
+        "__dup",
     )
     def frac(c):
         x = F.when(

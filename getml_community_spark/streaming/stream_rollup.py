@@ -153,6 +153,15 @@ def stream_gorilla_segments(
 
     Output schema matches compress_rollup minus bytes_raw accounting
     nuances: (source, day, n_points, bytes_raw, bytes_compressed, data).
+
+    STATE-SIZE NOTE: the buffered (epoch, value) points live in state
+    until the day closes, which is sized for the documented input — an
+    already-rolled-up 1m-tier stream (<= 1440 points per group-day). Do
+    NOT feed raw event-granularity streams from hot sources here: a
+    source emitting thousands of events/sec would bloat a group's state
+    by orders of magnitude. Pre-aggregate with :func:`stream_rollup`
+    first; its sliding-window state is bounded by the watermark, and
+    its 1m output is exactly this operator's intended input.
     """
     import numpy as np
     import pandas as pd
@@ -317,7 +326,21 @@ def stream_cusum(
     accumulators) regardless of stream length — CUSUM's recursion is
     the textbook fit for ``applyInPandasWithState``. Arithmetic matches
     the batch operator's micro-unit longs, so alarms are identical to a
-    batch run over the same ordered buckets (pytest-asserted)."""
+    batch run over the same ordered buckets (pytest-asserted).
+
+    ORDERING ASSUMPTION (round-4 advice, explicit): rows are sorted by
+    timestamp only WITHIN each micro-batch. CUSUM's recursion is
+    order-sensitive, so a row that arrives late-but-within-watermark in
+    a LATER trigger is folded into state after newer rows, and s⁺/s⁻
+    can diverge from the batch run. The batch-parity claim above holds
+    for in-order arrival (the normal case here: the input is an
+    already-rolled-up tier stream whose buckets close in watermark
+    order). If the upstream can deliver cross-trigger out-of-order
+    buckets, either widen the upstream rollup's watermark so buckets
+    emit in order, or buffer per key with an EventTimeTimeout and run
+    the recursion only over below-watermark rows at timeout — the
+    sessionize module shows that pattern; it trades the 2-long state
+    for a per-key buffer."""
     import numpy as np
     import pandas as pd
 

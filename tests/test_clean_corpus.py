@@ -139,3 +139,22 @@ def test_clean_corpus_line_dedup_stage(spark):
     assert "common footer line" in texts[0]      # first occurrence kept
     assert "common footer line" not in texts[1]  # later occurrence stripped
     assert dict(rep.stages)["lines"] == 2        # mutates, never drops
+
+
+def test_clean_corpus_reliable_checkpoint_dir(spark, corpus, tmp_path):
+    """checkpoint_dir= routes report-mode stage materialization (and the
+    transitive CC rounds) through reliable DataFrame.checkpoint()."""
+    import os
+
+    ckdir = str(tmp_path / "clean_ck")
+    out, rep = clean_corpus(
+        corpus, report=True, transitive=True, checkpoint_dir=ckdir
+    )
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # same survivors as the localCheckpoint path
+    out2, _ = clean_corpus(corpus, report=True, transitive=True)
+    ids2 = sorted(r["doc_id"] for r in out2.select("doc_id").collect())
+    assert ids == ids2
+    assert [n for n, _ in rep.stages][:2] == ["input", "gopher"]
+    found = [f for _, _, fs in os.walk(ckdir) for f in fs if not f.startswith(".")]
+    assert found, f"no checkpoint files under {ckdir}"

@@ -115,3 +115,41 @@ def test_transitive_dedup_drops_whole_chain(spark):
     t = sorted(r["doc_id"] for r in trans.select("doc_id").collect())
     assert g == [0, 1]  # one-hop misses the chain-end
     assert t == [0]  # one survivor for the whole connected chain
+
+
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir= switches per-round lineage truncation to reliable
+    DataFrame.checkpoint() — same components, and checkpoint files
+    actually land in the given store (round-4 advice: one reliable path
+    for iterative ops)."""
+    import os
+
+    rng = np.random.default_rng(5)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 60, size=(80, 2))]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    ckdir = str(tmp_path / "cc_ck")
+
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, checkpoint_dir=ckdir).collect()
+    }
+    want = _union_find(edges)
+    assert got == want
+
+    # reliable checkpoints were actually written to the store
+    found = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckdir)
+        for f in fs
+        if not f.startswith(".")
+    ]
+    assert found, f"no checkpoint files under {ckdir}"
+
+    # label variant takes the same path
+    got_l = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, algorithm="label", max_iter=80, checkpoint_dir=ckdir
+        ).collect()
+    }
+    assert got_l == want

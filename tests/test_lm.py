@@ -43,3 +43,41 @@ def test_short_docs_excluded_and_bad_k(spark):
     assert [r["doc_id"] for r in out] == [1]  # <2 tokens -> no row
     with pytest.raises(ValueError):
         bigram_lm_score(df, k=0.0)
+
+
+def test_broadcast_model_plan_and_fallback(spark):
+    """broadcast_model=True must put the (w1, w2) model on the small
+    side of a BroadcastHashJoin (corpus bigrams never shuffle);
+    broadcast_model=False is the documented shuffle fallback for
+    unbounded vocabularies; 'auto' under the type threshold matches the
+    broadcast plan AND the broadcast/shuffle values agree exactly."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    plan_b = bigram_lm_score(df, broadcast_model=True)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan_b
+
+    plan_s = bigram_lm_score(df, broadcast_model=False)._jdf.queryExecution().toString()
+    # the model join must NOT be broadcast in fallback mode; the only
+    # broadcast left is the scalar vocab-size cross join (nested-loop)
+    assert "BroadcastHashJoin" not in plan_s
+
+    got_b = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+        for r in bigram_lm_score(df, broadcast_model=True).collect()
+    }
+    got_s = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+        for r in bigram_lm_score(df, broadcast_model=False).collect()
+    }
+    got_a = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+        for r in bigram_lm_score(df, broadcast_model="auto").collect()
+    }
+    assert got_b == got_s == got_a
+
+    # auto over-threshold degrades to the shuffle plan
+    plan_a0 = bigram_lm_score(
+        df, broadcast_model="auto", broadcast_max_types=1
+    )._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" not in plan_a0

@@ -197,3 +197,32 @@ def test_repetition_stats_rules(spark):
     assert out[2]["keep_repetition"] is False
     assert out[2]["dup_5gram_frac"] > 0.15
     assert out[3]["top_2gram_frac"] == 0.0 and out[3]["keep_repetition"] is True
+
+
+def test_top_gram_is_argmax_by_count_not_coverage(spark):
+    """Round-4 advice: the top n-gram must be the MOST FREQUENT one
+    (Gopher/DataTrove), not the one maximizing count*length — a longer
+    but rarer gram must not win."""
+    from getml_community_spark.operators.textstats import repetition_stats
+
+    # 2-grams: "a b" occurs 5x (covered 5*3=15); "longword1 longword2"
+    # occurs 2x (covered 2*19=38 > 15) — old max(count*len) picked the
+    # rare long gram; the Gopher definition picks "a b".
+    text = ("a b " * 5) + ("longword1 longword2 " * 2)
+    df = spark.createDataFrame([(0, text.strip())], "doc_id long, text string")
+    row = repetition_stats(df).collect()[0]
+    ws = text.split()
+    chars = len(" ".join(ws))
+    # most frequent 2-gram by count is ("b a") count 4? enumerate in
+    # python to stay honest about overlapping grams
+    from collections import Counter
+
+    c2 = Counter(" ".join(ws[i : i + 2]) for i in range(len(ws) - 1))
+    top_count = max(c2.values())
+    cands = [g for g, c in c2.items() if c == top_count]
+    # tie-break: covered chars, then lexicographic
+    best = max(cands, key=lambda g: (top_count * len(g), g))
+    import math
+
+    want = math.floor(top_count * len(best) / chars * 1e6 + 0.5) / 1e6
+    assert row["top_2gram_frac"] == want

@@ -104,3 +104,30 @@ def test_token_budget_negative_raises(spark, toked):
 
     with pytest.raises(ValueError):
         token_budget_sample(toked, "id", "stratum", "n_tok", {"0": -5})
+
+
+def test_token_budget_sample_preserves_caller_columns(spark):
+    """Round-4 advice: a caller whose frame already has cum_tok /
+    sample_bucket must not lose them (audit_cols=False), and
+    audit_cols=True must refuse the collision loudly."""
+    from getml_community_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "web", 10, 777 + i, 888) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tok long, cum_tok long, sample_bucket long"
+    )
+    out = token_budget_sample(
+        df, "doc_id", "source", "n_tok", {"web": 50}, audit_cols=False
+    )
+    pdf = out.toPandas()
+    assert "cum_tok" in pdf.columns and "sample_bucket" in pdf.columns
+    # caller values survive untouched
+    assert (pdf["cum_tok"] == 777 + pdf["doc_id"]).all()
+    assert (pdf["sample_bucket"] == 888).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="would overwrite"):
+        token_budget_sample(
+            df, "doc_id", "source", "n_tok", {"web": 50}, audit_cols=True
+        )
