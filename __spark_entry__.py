@@ -1143,6 +1143,37 @@ def q_jpeg_decode(spark, sf):
     )
 
 
+def q_hist_quantile_1h(spark, sf):
+    """Mergeable histogram quantiles THROUGH the cascade: events are
+    histogrammed at the 1m tier (bin = floor(value/0.25)), cascaded to
+    1h by adding counts, and p50/p90/p99 extracted with the type-1
+    inverted-CDF rule (smallest bin with cum >= ceil(q*total)). The
+    oracle computes the same quantiles DIRECTLY from raw at 1h — green
+    means the merge is exact, the property plain quantiles lack
+    (operators/histquantile.py)."""
+    from getml_community_spark.operators.histquantile import (
+        hist_cascade,
+        hist_quantiles,
+        hist_rollup_from_raw,
+    )
+
+    w = 0.25
+    ev = _load(spark, sf, "events")
+    h1m = hist_rollup_from_raw(
+        ev, "1m", value_col="value", bin_width=w,
+        source_col="user_id", ts_col="ts",
+    )
+    out = hist_quantiles(hist_cascade(h1m, "1h"), qs=(0.5, 0.9, 0.99), bin_width=w)
+    return out.select(
+        F.col("source").alias("user_id"),
+        "bucket_start",
+        "cnt",
+        _r(F.col("p50")).alias("p50"),
+        _r(F.col("p90")).alias("p90"),
+        _r(F.col("p99")).alias("p99"),
+    )
+
+
 def q_mjpeg_frames(spark, sf):
     """REAL video decode end-to-end, no ffmpeg: each document renders a
     3-frame 16x16 MJPEG AVI (RIFF container, one baseline JPEG per
@@ -1867,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- 1: no driver row yet -------------------------------------
+        "hist_quantile_1h": q_hist_quantile_1h,
         "mjpeg_frames": q_mjpeg_frames,
         "line_dedup": q_line_dedup,
         # -- 2: stale (last row r3) or freshly fixed (r4 red) ---------
@@ -1906,7 +1938,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode": q_png_decode,
         "jpeg_decode": q_jpeg_decode,
         "wav_features": q_wav_features,
-        "tfidf_topk": q_tfidf_topk,
         "lttb_6h": q_lttb_6h,
         "anomaly_1h": q_anomaly_1h,
         "sax_daily": q_sax_daily,
@@ -1920,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "repetition_stats": q_repetition_stats,
         # -- 4: tail — multi-round-stable basics (parked this round) --
+        "tfidf_topk": q_tfidf_topk,
         "mode_1h": q_mode_1h,
         "asof_multikey": q_asof_multikey,
         "string_ops": q_string_ops,
@@ -2511,6 +2543,32 @@ def oracle_sql() -> dict[str, str]:
                      k -> 128 + ((n_chars*(k+3)) % 7 - 3) * 3),
                      'max') AS BIGINT) AS max_luma
             FROM documents
+        """,
+        "hist_quantile_1h": """
+            -- direct 1h histogram quantiles from raw: equality with the
+            -- Spark side's 1m->1h CASCADE proves exact mergeability.
+            -- Integer bins/counts + type-1 rule -> byte-identical
+            -- cross-engine; windowed sums cast (DuckDB HUGEINT)
+            WITH h AS (
+              SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+                     CAST(floor(value / 0.25) AS BIGINT) AS bin,
+                     count(*) AS cnt
+              FROM events WHERE value IS NOT NULL
+              GROUP BY 1, 2, 3
+            ), c AS (
+              SELECT user_id, bucket_start, bin, cnt,
+                     CAST(sum(cnt) OVER (PARTITION BY user_id, bucket_start
+                                         ORDER BY bin) AS BIGINT) AS cum,
+                     CAST(sum(cnt) OVER (PARTITION BY user_id, bucket_start)
+                          AS BIGINT) AS tot
+              FROM h
+            )
+            SELECT user_id, bucket_start,
+                   CAST(sum(cnt) AS BIGINT) AS cnt,
+                   round(min(CASE WHEN cum >= ceil(0.50 * tot) THEN bin END) * 0.25, 6) AS p50,
+                   round(min(CASE WHEN cum >= ceil(0.90 * tot) THEN bin END) * 0.25, 6) AS p90,
+                   round(min(CASE WHEN cum >= ceil(0.99 * tot) THEN bin END) * 0.25, 6) AS p99
+            FROM c GROUP BY 1, 2
         """,
         "mjpeg_frames": """
             -- 3-frame MJPEG AVI of constant-8x8-block frames (DC on

@@ -91,6 +91,40 @@ def stream_rollup(
     )
 
 
+def stream_hist(
+    stream: DataFrame,
+    tier: str = "1m",
+    bin_width: float = 1.0,
+    watermark: str = "2 minutes",
+    source_col: str = "source",
+    ts_col: str = "event_time",
+    value_col: str = "n_tok",
+) -> DataFrame:
+    """Streaming histogram tier — the drop-in lower tier for the
+    mergeable-quantile cascade (operators/histquantile.py): same
+    (source, bucket_start, bin, cnt) schema as hist_rollup_from_raw, so
+    batch ``hist_cascade`` + ``hist_quantiles`` run unchanged on the
+    stream's sink table. Adding ``bin`` to the window group key keeps
+    this a native watermark-evicted streaming aggregation (no custom
+    state); per-group state is one count, group cardinality is bounded
+    by sources x live-windows x occupied bins."""
+    if tier not in TIER_SECONDS:
+        raise ValueError(f"unknown tier {tier!r}")
+    if bin_width <= 0:
+        raise ValueError("bin_width must be > 0")
+    w = F.window(F.col(ts_col), _TIER_INTERVAL[tier])
+    bin_col = F.floor(
+        F.col(value_col).cast("double") / F.lit(float(bin_width))
+    ).cast("long")
+    return (
+        stream.where(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.col(source_col).alias("source"), w.alias("w"), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("source", F.col("w.start").alias("bucket_start"), "bin", "cnt")
+    )
+
+
 def stream_sessions(
     stream: DataFrame,
     gap_seconds: int,

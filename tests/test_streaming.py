@@ -416,3 +416,52 @@ def test_stream_sessions_match_batch_summary(spark, tmp_path):
     assert len(got) == len(want) == 4  # 2 sessions x 2 sources
     for col in ("t_start", "t_end", "duration_s", "n_events"):
         assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+
+
+def test_stream_hist_feeds_batch_quantile_cascade(spark, tmp_path):
+    """Streaming histogram tier == batch histogram tier (availableNow
+    parity), and the batch cascade + quantile extraction runs unchanged
+    on the streamed sink."""
+    from getml_community_spark.datagen import write_corpus_parquet
+    from getml_community_spark.operators.histquantile import (
+        hist_cascade,
+        hist_quantiles,
+        hist_rollup_from_raw,
+    )
+    from getml_community_spark.streaming.stream_rollup import (
+        stream_corpus_reader,
+        stream_hist,
+    )
+
+    path = str(tmp_path / "corpus")
+    write_corpus_parquet(spark, 2000, path, with_tokens=False)
+
+    stream = stream_corpus_reader(spark, path)
+    hist = stream_hist(stream, "1m", bin_width=16.0, watermark="10 minutes")
+    q = (
+        hist.writeStream.format("memory")
+        .queryName("hist_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got_hist = spark.sql("SELECT * FROM hist_stream")
+    batch = spark.read.parquet(path)
+    want_hist = hist_rollup_from_raw(batch, "1m", bin_width=16.0)
+
+    from .conftest import assert_frames_equal_unordered
+
+    assert_frames_equal_unordered(
+        got_hist.toPandas(), want_hist.toPandas(), ["source", "bucket_start", "bin"]
+    )
+
+    # the streamed tier is a drop-in lower tier for the batch cascade
+    got_q = hist_quantiles(
+        hist_cascade(got_hist, "1h"), qs=(0.5, 0.99), bin_width=16.0
+    ).toPandas()
+    want_q = hist_quantiles(
+        hist_cascade(want_hist, "1h"), qs=(0.5, 0.99), bin_width=16.0
+    ).toPandas()
+    assert_frames_equal_unordered(got_q, want_q, ["source", "bucket_start"])
