@@ -64,6 +64,8 @@ HEADLINE = [
     "lm_perplexity",
     "repetition_stats",
     "line_dedup",
+    "hist_quantile_1h",
+    "mjpeg_frames",
 ]
 
 
