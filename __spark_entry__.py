@@ -1143,6 +1143,45 @@ def q_jpeg_decode(spark, sf):
     )
 
 
+def q_counter_rate_1h(spark, sf):
+    """Counter-reset-aware increase/rate (PromQL semantics,
+    operators/counter.py): a CUMULATIVE counter is synthesized
+    deterministically from events — per user, the running sum of
+    integer cents (RANGE frame so full-timestamp ties share one value)
+    mod 500000, which forces resets — then counter_increase walks it
+    with reset detection. All integer-valued doubles; the oracle
+    replays the identical construction. Ordering discipline: the
+    running sum orders by FULL-precision ts (RANGE ties exact); the
+    operator's lag orders by (truncated epoch, value) — the oracle
+    mirrors with floor(epoch) + counter."""
+    from pyspark.sql import Window
+
+    from getml_community_spark.operators.counter import counter_increase
+
+    ev = _load(spark, sf, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    counter = (F.sum(cents).over(w) % F.lit(500000)).cast("double")
+    staged = ev.select(
+        F.col("user_id").alias("source"), "ts", counter.alias("counter")
+    )
+    out = counter_increase(
+        staged, "1h", value_col="counter", source_col="source", ts_col="ts"
+    )
+    return out.select(
+        F.col("source").alias("user_id"),
+        "bucket_start",
+        "n_samples",
+        "n_resets",
+        _r(F.col("increase")).alias("increase"),
+        (F.floor(F.col("rate") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "rate"
+        ),
+    )
+
+
 def q_hist_quantile_1h(spark, sf):
     """Mergeable histogram quantiles THROUGH the cascade: events are
     histogrammed at the 1m tier (bin = floor(value/0.25)), cascaded to
@@ -1898,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- 1: no driver row yet -------------------------------------
+        "counter_rate_1h": q_counter_rate_1h,
         "hist_quantile_1h": q_hist_quantile_1h,
         "mjpeg_frames": q_mjpeg_frames,
         "line_dedup": q_line_dedup,
@@ -1937,7 +1977,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_decode": q_bmp_decode,
         "png_decode": q_png_decode,
         "jpeg_decode": q_jpeg_decode,
-        "wav_features": q_wav_features,
         "lttb_6h": q_lttb_6h,
         "anomaly_1h": q_anomaly_1h,
         "sax_daily": q_sax_daily,
@@ -1951,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "repetition_stats": q_repetition_stats,
         # -- 4: tail — multi-round-stable basics (parked this round) --
+        "wav_features": q_wav_features,
         "tfidf_topk": q_tfidf_topk,
         "mode_1h": q_mode_1h,
         "asof_multikey": q_asof_multikey,
@@ -2543,6 +2583,43 @@ def oracle_sql() -> dict[str, str]:
                      k -> 128 + ((n_chars*(k+3)) % 7 - 3) * 3),
                      'max') AS BIGINT) AS max_luma
             FROM documents
+        """,
+        "counter_rate_1h": """
+            -- synthesize the cumulative counter exactly like the Spark
+            -- side (integer cents, RANGE cumsum over full-precision ts,
+            -- mod 500000), then PromQL reset walk: delta < 0 is a
+            -- reset contributing the full post-reset value; the first
+            -- sample of a source contributes nothing. Lag ordering
+            -- mirrors the operator: (floor(epoch), counter).
+            WITH c AS (
+              SELECT user_id, ts,
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                            OVER (PARTITION BY user_id ORDER BY ts
+                                  RANGE UNBOUNDED PRECEDING) % 500000
+                          AS DOUBLE) AS counter
+              FROM events
+            ), l AS (
+              SELECT user_id, ts, counter,
+                     lag(counter) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT), counter
+                     ) AS prev
+              FROM c
+            )
+            SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+                   count(*) AS n_samples,
+                   CAST(sum(CASE WHEN prev IS NOT NULL AND counter < prev
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+                   round(coalesce(sum(
+                     CASE WHEN prev IS NULL THEN NULL
+                          WHEN counter >= prev THEN counter - prev
+                          ELSE counter END), 0.0), 6) + 0.0 AS increase,
+                   floor(coalesce(sum(
+                     CASE WHEN prev IS NULL THEN NULL
+                          WHEN counter >= prev THEN counter - prev
+                          ELSE counter END), 0.0) / 3600.0 * 1e6 + 0.5) / 1e6
+                     AS rate
+            FROM l GROUP BY 1, 2
         """,
         "hist_quantile_1h": """
             -- direct 1h histogram quantiles from raw: equality with the

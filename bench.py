@@ -66,6 +66,7 @@ HEADLINE = [
     "line_dedup",
     "hist_quantile_1h",
     "mjpeg_frames",
+    "counter_rate_1h",
 ]
 
 
@@ -224,6 +225,7 @@ def main() -> None:
                 "gorilla_ratio": round(hot["gorilla_ratio"], 3),
                 "gorilla_ratio_cnt": round(hot["gorilla_ratio_cnt"], 3),
                 "walls": hot.get("walls"),
+                "converged": hot.get("converged"),
             }
         )
     )
