@@ -67,7 +67,17 @@ def main() -> None:
     tps_lo, tps_hi = results[lo]["tokens_per_sec"], results[hi]["tokens_per_sec"]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # preserve hand-maintained evidence sections ("## ..." and below)
+    # from the existing file; only the headline scaling block is
+    # regenerated
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    extra = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        idx = prev.find("\n## ")
+        if idx != -1:
+            extra = prev[idx:]
+    with open(out_path, "w") as f:
         f.write(
             f"""# BENCH baseline — scaling evidence
 
@@ -75,8 +85,10 @@ Hot path: parquet scan -> 1m rollup -> 1h/1d cascade -> gap-fill ->
 Gorilla encode (JVM-side segment assembly + vectorized pandas-UDF
 codec), over the synthetic tokenized corpus
 (N={bench_n:,} rows, {results[hi]['tokens']:,} tokens), identical
-input at both parallelism levels. Timing = min of 3 steady-state runs
-after a warmup pipeline (Python workers + codegen warm).
+input at both parallelism levels. Timing = min of CONVERGED
+steady-state runs after a warmup pipeline (bench.py keeps timing, up
+to 6 reps, until the two best walls agree within 15% — the walls lists
+below show the actual reps).
 
 This sandbox has one 32-vCPU host, no real cluster. The N vs 4N
 executor criterion is evidenced with local[{lo}] vs local[{hi}]:
@@ -87,7 +99,7 @@ Python UDF workers on 32 vCPUs, which a real 4N-executor cluster
 does not do; even a pure-python spin loop only scales ~0.85/step on
 this host's hypervisor).
 
-| parallelism | hot-path wall (s), min of 3 | tokens/sec |
+| parallelism | hot-path wall (s), min of converged | tokens/sec |
 |---|---|---|
 | local[{lo}]  (N)  | {t_lo:.2f} | {tps_lo:,.0f} |
 | local[{hi}] (4N) | {t_hi:.2f} | {tps_hi:,.0f} |
@@ -95,8 +107,9 @@ this host's hypervisor).
 **speedup {lo}->{hi}:** {t_lo / t_hi:.2f}x over {ratio:.0f}x cores
 **scaling efficiency (T{lo}/T{hi})/{ratio:.0f}:** {eff:.3f} (target >= 0.8)
 
-All three timed walls per level: local[{lo}]={results[lo].get('walls')},
-local[{hi}]={results[hi].get('walls')}. (Min is reported.)
+Timed walls per level: local[{lo}]={results[lo].get('walls')},
+local[{hi}]={results[hi].get('walls')} (min is reported; both levels
+converged: {results[lo].get('converged')}/{results[hi].get('converged')}).
 
 Gorilla compression ratio at the 1m tier: {results[hi]['gorilla_ratio']:.2f}x
 (regular 1m buckets of double rates; at production scale segments hold
@@ -104,6 +117,7 @@ full days of near-regular deltas, where delta-of-delta approaches its
 ~10x design point).
 """
         )
+        f.write(extra)
     print(
         json.dumps(
             {

@@ -424,6 +424,76 @@ def stream_cusum(
     )
 
 
+def stream_counter_increase(
+    stream: DataFrame,
+    value_col: str = "value",
+    source_col: str = "source",
+    ts_col: str = "event_time",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming counter-reset walk — the continuous form of
+    :func:`..operators.counter.counter_increase` (PromQL semantics):
+    per source, emit each sample's contribution (delta, or the full
+    value after a reset) so a downstream windowed sum yields per-bucket
+    increase/rate.
+
+    State per source is ONE value — the last counter sample — so this
+    scales to any stream length. Same in-order-arrival caveat as
+    stream_cusum (the walk is order-sensitive; rows are sorted within
+    each micro-batch only). Output: (source, ts, value, contrib,
+    is_reset); the first sample of a source emits contrib NULL
+    (baseline unknown), matching the batch operator.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{source_col} string, {ts_col} timestamp, value double, "
+        "contrib double, is_reset boolean"
+    )
+    state_schema = "last double"
+
+    def fn(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        frames = [p for p in pdfs]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values(["__tsc", "__val"])
+        vals = pdf["__val"].to_numpy(np.float64)
+        contrib = np.empty(len(vals), dtype=np.float64)
+        reset = np.zeros(len(vals), dtype=bool)
+        for i, v in enumerate(vals):
+            if last is None:
+                contrib[i] = np.nan
+            elif v >= last:
+                contrib[i] = v - last
+            else:
+                contrib[i] = v
+                reset[i] = True
+            last = float(v)
+        state.update((float(last),))
+        out = pd.DataFrame(
+            {
+                source_col: key[0],
+                ts_col: pd.to_datetime(pdf["__tsc"].to_numpy(), unit="s"),
+                "value": vals,
+                "contrib": contrib,
+                "is_reset": reset,
+            }
+        )
+        yield out
+
+    prepped = (
+        stream.withWatermark(ts_col, watermark)
+        .withColumn("__tsc", F.col(ts_col).cast("timestamp").cast("long"))
+        .withColumn("__val", F.col(value_col).cast("double"))
+        .select(F.col(source_col).cast("string").alias(source_col), "__tsc", "__val")
+    )
+    return prepped.groupBy(source_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
 def stream_corpus_reader(spark, path: str) -> DataFrame:
     """File-source stream over a corpus parquet directory (the
     readStream analogue of the batch reader; availableNow triggers give

@@ -465,3 +465,87 @@ def test_stream_hist_feeds_batch_quantile_cascade(spark, tmp_path):
         hist_cascade(want_hist, "1h"), qs=(0.5, 0.99), bin_width=16.0
     ).toPandas()
     assert_frames_equal_unordered(got_q, want_q, ["source", "bucket_start"])
+
+
+def test_stream_counter_increase_matches_batch(spark, tmp_path):
+    """Streaming counter-reset walk: state (one value per source)
+    crosses the micro-batch boundary (two files, maxFilesPerTrigger=1);
+    bucket-summed streamed contributions equal the batch operator.
+    First-sample rows carry NaN contrib (unknown baseline) — mapped to
+    NULL before the sum, like the batch path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from getml_community_spark.operators.counter import counter_increase
+    from getml_community_spark.streaming.stream_rollup import (
+        stream_counter_increase,
+    )
+
+    src_dir = str(tmp_path / "ctr")
+    base = 1_700_000_000
+    rng = np.random.default_rng(3)
+
+    def mk_rows(t0, n, start):
+        rows, c = [], start
+        t = t0
+        for _ in range(n):
+            t += int(rng.integers(10, 90))
+            c += float(rng.integers(0, 40))
+            if rng.random() < 0.1:
+                c = float(rng.integers(0, 5))
+            rows.append(("a", t, c))
+        return rows, c
+
+    rows1, c_end = mk_rows(base, 40, 0.0)
+    rows2, _ = mk_rows(rows1[-1][1], 40, c_end)
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, "source string, epoch long, value double").select(
+            "source", F.timestamp_seconds("epoch").alias("event_time"), "value"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/f{i}")
+
+    stream = (
+        spark.readStream.schema("source string, event_time timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/f*")
+    )
+    out = stream_counter_increase(stream, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ctr_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.sql("SELECT * FROM ctr_stream")
+    got = (
+        streamed.groupBy(
+            "source",
+            F.timestamp_seconds(
+                F.floor(F.col("event_time").cast("long") / 3600) * 3600
+            ).alias("bucket_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.col("is_reset").cast("long")).alias("n_resets"),
+            F.coalesce(
+                F.sum(F.when(F.isnan("contrib"), None).otherwise(F.col("contrib"))),
+                F.lit(0.0),
+            ).alias("increase"),
+        )
+        .toPandas()
+        .sort_values(["source", "bucket_start"])
+        .reset_index(drop=True)
+    )
+
+    batch = spark.read.parquet(f"{src_dir}/f*")
+    want = (
+        counter_increase(batch, "1h", value_col="value")
+        .select("source", "bucket_start", "n_samples", "n_resets", "increase")
+        .toPandas()
+        .sort_values(["source", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (got, want)
+    assert int(got["n_resets"].sum()) > 0  # scenario exercised resets
