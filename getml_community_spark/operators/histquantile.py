@@ -51,12 +51,20 @@ def hist_rollup_from_raw(
     bin_width: float = 1.0,
     source_col: str = "source",
     ts_col: str = "event_time",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Histogram tier from raw events: (source, bucket_start, bin, cnt)
     with ``bin = floor(value / bin_width)`` (NULL values drop — they
     carry no quantile information). One hash aggregation, one shuffle
     on (source, bucket, bin); a hot source partial-aggregates map-side
-    exactly like the core rollup."""
+    exactly like the core rollup.
+
+    ``weight_col`` (integer column) makes ``cnt`` a WEIGHT sum instead
+    of a row count — downstream quantiles become weighted quantiles
+    ("p95 document length weighted by n_tok" answers where the TOKENS
+    sit, not where the documents sit — the mixture-construction view).
+    Weights must be non-negative integers so counts stay exact longs;
+    rows with NULL weight drop with the NULL values."""
     if tier not in TIER_SECONDS:
         raise ValueError(f"unknown tier {tier!r}")
     if bin_width <= 0:
@@ -66,14 +74,20 @@ def hist_rollup_from_raw(
     bin_col = F.floor(F.col(value_col).cast("double") / F.lit(float(bin_width))).cast(
         "long"
     )
+    keep = F.col(value_col).isNotNull()
+    if weight_col is None:
+        agg = F.count(F.lit(1)).alias("cnt")
+    else:
+        keep = keep & F.col(weight_col).isNotNull()
+        agg = F.sum(F.col(weight_col).cast("long")).alias("cnt")
     return (
-        df.where(F.col(value_col).isNotNull())
+        df.where(keep)
         .groupBy(
             F.col(source_col).alias("source"),
             b.alias("__be"),
             bin_col.alias("bin"),
         )
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(agg)
         .select("source", _bucket_ts(F.col("__be")), "bin", "cnt")
     )
 

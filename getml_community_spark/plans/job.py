@@ -54,6 +54,14 @@ class RollupJob:
             tier: SnapshotTable(f"{out_root}/agg_{tier}", partition_by=["day"])
             for tier in spec.tiers
         }
+        self.hist_tables = (
+            {
+                tier: SnapshotTable(f"{out_root}/hist_{tier}", partition_by=["day"])
+                for tier in spec.tiers
+            }
+            if spec.hist_bin_width
+            else {}
+        )
         self.segments = SnapshotTable(f"{out_root}/segments", partition_by=["day"])
         self.lineage = LineageLog(f"{out_root}/lineage")
         self.state = JobState(f"{out_root}/state")
@@ -130,10 +138,16 @@ class RollupJob:
         crash-partial — treating it as partial deleted retained
         coarse-tier history and reprocessed expired days forever."""
         tier_days = {t: self._done_days(t) for t in self.spec.tiers}
+        hist_days = {
+            t: {p.get("day") for p in tbl.partitions() if p.get("day")}
+            for t, tbl in self.hist_tables.items()
+        }
         seg_days = {
             p.get("day") for p in self.segments.partitions() if p.get("day")
         }
-        present: set[str] = set().union(seg_days, *tier_days.values())
+        present: set[str] = set().union(
+            seg_days, *tier_days.values(), *hist_days.values()
+        )
         if not present:
             return set()
         frontier = max(present)
@@ -145,10 +159,18 @@ class RollupJob:
                 d in tier_days[t] or not self._tier_required(t, d, frontier)
                 for t in self.spec.tiers
             )
+            and all(
+                d in hist_days[t] or not self._tier_required(t, d, frontier)
+                for t in self.hist_tables
+            )
         }
         partial = present - complete
         if partial:
-            for table in [*self.tables.values(), self.segments]:
+            for table in [
+                *self.tables.values(),
+                *self.hist_tables.values(),
+                self.segments,
+            ]:
                 table.delete_partitions(lambda p: p.get("day") in partial)
         return complete
 
@@ -276,6 +298,52 @@ class RollupJob:
             self.state.mark(spec_hash, in_snap, [(tier, d) for d in pending])
             lower = rolled
 
+        # ---- histogram tiers (mergeable quantiles), when configured ----
+        if self.hist_tables:
+            from ..operators.histquantile import hist_cascade, hist_rollup_from_raw
+
+            h = hist_rollup_from_raw(
+                sel,
+                base_tier,
+                value_col=spec.value_col,
+                bin_width=spec.hist_bin_width,
+                source_col=spec.source_col,
+                ts_col=spec.ts_col,
+            ).withColumn("day", F.to_date("bucket_start"))
+            for tier in spec.tiers:
+                if tier != base_tier:
+                    h = hist_cascade(h.drop("day"), tier).withColumn(
+                        "day", F.to_date("bucket_start")
+                    ).where(F.col("day").isin(pending))
+                h = h.cache()
+                h_out = {
+                    str(r["day"]): r["rows"]
+                    for r in h.groupBy("day")
+                    .agg(F.count(F.lit(1)).alias("rows"))
+                    .collect()
+                }
+                hsnap = self.hist_tables[tier].append(h)
+                lineage_rows += [
+                    {
+                        "job_id": self.job_id,
+                        "spec_hash": spec_hash,
+                        "tier": f"hist_{tier}",
+                        "partition_id": d,
+                        "snapshot_id": hsnap,
+                        "rows_in": in_stats.get(d, (0, 0))[0]
+                        if tier == base_tier
+                        else 0,
+                        "rows_out": h_out.get(d, 0),
+                        "bytes_compressed": 0,
+                        "wall_seconds": 0.0,
+                        "committed_at": time.time(),
+                    }
+                    for d in pending
+                ]
+                self.state.mark(
+                    spec_hash, in_snap, [(f"hist_{tier}", d) for d in pending]
+                )
+
         # ---- Gorilla compression of the configured tier ----
         segs = compress_rollup(
             agg.drop("day"),
@@ -331,13 +399,33 @@ class RollupJob:
                 continue
             newest = dt.date.fromisoformat(max(days))
             cutoff = newest - dt.timedelta(seconds=keep_s)
-            self.tables[tier].delete_partitions(
-                lambda p: p.get("day") and dt.date.fromisoformat(p["day"]) < cutoff
-            )
+            for table in [
+                self.tables[tier],
+                *([self.hist_tables[tier]] if tier in self.hist_tables else []),
+            ]:
+                table.delete_partitions(
+                    lambda p: p.get("day")
+                    and dt.date.fromisoformat(p["day"]) < cutoff
+                )
 
     # ------------------------------------------------------------ #
     def read_tier(self, tier: str) -> DataFrame:
         return self.tables[tier].read(self.spark)
+
+    def read_hist_quantiles(self, tier: str, qs: tuple = (0.5, 0.95, 0.99)) -> DataFrame:
+        """Quantiles from the maintained histogram tier (requires
+        spec.hist_bin_width)."""
+        if tier not in self.hist_tables:
+            raise ValueError(
+                f"no histogram tier {tier!r} (set RollupSpec.hist_bin_width)"
+            )
+        from ..operators.histquantile import hist_quantiles
+
+        return hist_quantiles(
+            self.hist_tables[tier].read(self.spark).drop("day"),
+            qs=qs,
+            bin_width=self.spec.hist_bin_width,
+        )
 
     def read_tier_dense(self, tier: str) -> DataFrame:
         return gapfill(

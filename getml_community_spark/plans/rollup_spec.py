@@ -28,6 +28,11 @@ class RollupSpec:
     retention_seconds: dict = field(
         default_factory=lambda: {"1m": None, "1h": None, "1d": None}
     )
+    # when set, the job ALSO maintains mergeable histogram tiers
+    # (operators/histquantile.py) at every tier, bin = floor(value /
+    # hist_bin_width) — cascaded by adding counts, same day
+    # partitioning / lineage / retention as the core tiers
+    hist_bin_width: float | None = None
 
     def spec_hash(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True, default=str)

@@ -229,3 +229,59 @@ def test_expire_snapshots_and_remove_orphans(spark, tmp_path):
         t._load(s2)
     # data dir for b still present
     assert any(os.scandir(os.path.join(t.root, "data")))
+
+
+def test_hist_tiers_maintained_resumable_and_expired(spark, corpus_path, tmp_path):
+    """RollupSpec.hist_bin_width adds mergeable histogram tiers to the
+    job: content equals a direct hist_rollup_from_raw over the input at
+    every tier (exact cascade), resume across a simulated kill matches
+    a single run, lineage carries hist_* rows, quantiles read through
+    read_hist_quantiles, and retention expires hist partitions with the
+    core tier."""
+    from getml_community_spark.operators.histquantile import (
+        hist_rollup_from_raw,
+    )
+
+    spec = RollupSpec(
+        hist_bin_width=16.0,
+        retention_seconds={"1m": 5 * 86400, "1h": None, "1d": None},
+    )
+    single = str(tmp_path / "hsingle")
+    resumed = str(tmp_path / "hresumed")
+
+    job1 = RollupJob(spark, spec, corpus_path, single)
+    s1 = job1.run()
+    assert s1["days_processed"] == s1["days_total"]
+
+    # kill after 4 days, restart, finish
+    ja = RollupJob(spark, spec, corpus_path, resumed)
+    assert ja.run(max_partitions=4)["days_processed"] == 4
+    jb = RollupJob(spark, spec, corpus_path, resumed)
+    sb = jb.run()
+    assert sb["days_done_before"] == 4
+    assert RollupJob(spark, spec, corpus_path, resumed).run()["days_processed"] == 0
+
+    raw = spark.read.parquet(corpus_path)
+    for tier in ("1h", "1d"):  # 1m partially expired by retention
+        want = hist_rollup_from_raw(raw, tier, bin_width=16.0).toPandas()
+        a = job1.hist_tables[tier].read(spark).drop("day").toPandas()
+        b = jb.hist_tables[tier].read(spark).drop("day").toPandas()
+        assert_frames_equal_unordered(a, want, ["source", "bucket_start", "bin"])
+        assert_frames_equal_unordered(b, want, ["source", "bucket_start", "bin"])
+
+    # retention expired the same 1m days from core AND hist tables
+    core_days = {p["day"] for p in job1.tables["1m"].partitions()}
+    hist_days = {p["day"] for p in job1.hist_tables["1m"].partitions()}
+    assert core_days == hist_days
+    assert len(core_days) < s1["days_total"]  # something actually expired
+
+    # lineage has one hist row per (tier, day)
+    lin = job1.lineage.read_pandas()
+    hist_rows = lin[lin["tier"].str.startswith("hist_")]
+    assert len(hist_rows) == 3 * s1["days_total"]
+    base_rows = hist_rows[hist_rows["tier"] == "hist_1m"]
+    assert (base_rows["rows_in"] > 0).all()
+
+    # quantile reader works over the maintained tier
+    q = job1.read_hist_quantiles("1h", qs=(0.5, 0.99)).toPandas()
+    assert {"p50", "p99", "cnt"} <= set(q.columns) and len(q) > 0

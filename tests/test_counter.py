@@ -101,3 +101,21 @@ def test_cross_bucket_delta_credited_to_later_bucket(spark):
     }
     assert out[0] == 0.0
     assert out[3600] == 30.0
+
+
+def test_same_second_ties_order_by_value(spark):
+    """Two samples in the same (truncated) second: the walk orders them
+    by value — deterministic cross-engine; for a monotone counter the
+    value order IS the time order, so the increase is the plain delta
+    chain."""
+    rows = [
+        ("a", 100, 10.0),
+        ("a", 100, 14.0),  # same second, larger value -> walks second
+        ("a", 160, 20.0),
+    ]
+    df = spark.createDataFrame(rows, "source string, epoch long, value double").select(
+        "source", F.timestamp_seconds("epoch").alias("event_time"), "value"
+    )
+    out = counter_increase(df, "1h", value_col="value").collect()[0]
+    # 10 -> 14 (+4) -> 20 (+6); first sample free
+    assert out["increase"] == 10.0 and out["n_resets"] == 0

@@ -137,3 +137,34 @@ def test_plan_is_all_jvm(raw):
     assert "HashAggregate" in plan
     for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
         assert bad not in plan
+
+
+def test_weighted_quantiles(spark):
+    """weight_col turns counts into weight sums: the weighted p50 sits
+    where the WEIGHT mass sits, not where the rows sit."""
+    # 9 rows of value 10 (weight 1 each) + 1 row of value 100 (weight 91):
+    # row-p50 = 10, but weight-p50 = 100 (91 of 100 mass at 100)
+    rows = [("a", 1_700_000_000 + i, 10.0, 1) for i in range(9)]
+    rows.append(("a", 1_700_000_009, 100.0, 91))
+    df = spark.createDataFrame(
+        rows, "source string, epoch long, value double, w long"
+    ).select(
+        "source",
+        F.timestamp_seconds("epoch").alias("event_time"),
+        "value",
+        "w",
+    )
+    unweighted = hist_quantiles(
+        hist_rollup_from_raw(df, "1h", value_col="value", bin_width=1.0),
+        qs=(0.5,),
+        bin_width=1.0,
+    ).collect()[0]
+    weighted = hist_quantiles(
+        hist_rollup_from_raw(
+            df, "1h", value_col="value", bin_width=1.0, weight_col="w"
+        ),
+        qs=(0.5,),
+        bin_width=1.0,
+    ).collect()[0]
+    assert unweighted["p50"] == 10.0 and unweighted["cnt"] == 10
+    assert weighted["p50"] == 100.0 and weighted["cnt"] == 100
