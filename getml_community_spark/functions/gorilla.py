@@ -42,6 +42,7 @@ __all__ = [
     "decode_segment",
     "compress_rollup",
     "decompress_segments",
+    "query_segments",
 ]
 
 _MAGIC = b"GOR1"
@@ -829,6 +830,7 @@ def compress_rollup(
     ts_col: str = "bucket_start",
     value_col: str = "rate",
     source_col: str = "source",
+    with_stats: bool = False,
 ):
     """(source, day) segments of a rollup table → Gorilla blobs.
 
@@ -843,6 +845,15 @@ def compress_rollup(
     Grouping by day bounds segment size (≤1440 1m-points) and aligns
     segments with day partitioning, so recompression after late data
     touches exactly one partition.
+
+    ``with_stats=True`` adds the chunk-index columns (t_min, t_max,
+    v_min, v_max) — the Gorilla/Prometheus-TSDB pattern: per-segment
+    min/max computed JVM-side from the already-sorted arrays, so
+    :func:`query_segments` can prune compressed segments by predicate
+    WITHOUT decoding them. (v_min/v_max use Spark array_min/array_max,
+    which order NaN greatest — a segment of all-NaN values reports NaN
+    bounds and always survives value pruning, which is the safe
+    direction.)
     """
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
@@ -879,15 +890,70 @@ def compress_rollup(
         F.transform("__pts", lambda p: p["t"]).alias("__ts_arr"),
         F.transform("__pts", lambda p: p["v"]).alias("__val_arr"),
     )
+    stats_cols = (
+        [
+            F.element_at("__ts_arr", 1).alias("t_min"),
+            F.element_at("__ts_arr", -1).alias("t_max"),
+            F.array_min("__val_arr").alias("v_min"),
+            F.array_max("__val_arr").alias("v_max"),
+        ]
+        if with_stats
+        else []
+    )
+    out_cols = ["source", "day", "n_points", "bytes_raw", "bytes_compressed"] + (
+        ["t_min", "t_max", "v_min", "v_max"] if with_stats else []
+    ) + ["data"]
     return seg.select(
         "source",
         "day",
         F.size("__ts_arr").alias("n_points"),
         (F.size("__ts_arr").cast("long") * 16).alias("bytes_raw"),
+        *stats_cols,
         encode_udf("__ts_arr", "__val_arr").alias("data"),
-    ).withColumn("bytes_compressed", F.length("data").cast("long")).select(
-        "source", "day", "n_points", "bytes_raw", "bytes_compressed", "data"
-    )
+    ).withColumn("bytes_compressed", F.length("data").cast("long")).select(*out_cols)
+
+
+def query_segments(
+    segments,
+    t_from: int | None = None,
+    t_to: int | None = None,
+    v_from: float | None = None,
+    v_to: float | None = None,
+    chunk_segments: int = 1024,
+):
+    """Point query over a COMPRESSED segment store with chunk-index
+    pruning: segments whose (t_min, t_max)/(v_min, v_max) metadata
+    cannot intersect the predicate are dropped BEFORE the decode UDF
+    (requires ``compress_rollup(with_stats=True)`` columns), then the
+    exact row-level filter applies after decoding the survivors.
+
+    Same result as decompress-everything-then-filter, at the cost of
+    decoding only overlapping segments — at a 1000-day retention with a
+    1-day query window, ~1/1000th of the blobs cross the Python
+    boundary. Time bounds are inclusive epoch seconds; value bounds
+    inclusive doubles.
+    """
+    from pyspark.sql import functions as F
+
+    pred = F.lit(True)
+    if t_from is not None:
+        pred = pred & (F.col("t_max") >= F.lit(int(t_from)))
+    if t_to is not None:
+        pred = pred & (F.col("t_min") <= F.lit(int(t_to)))
+    if v_from is not None:
+        pred = pred & (F.col("v_max") >= F.lit(float(v_from)))
+    if v_to is not None:
+        pred = pred & (F.col("v_min") <= F.lit(float(v_to)))
+    rows = decompress_segments(segments.where(pred), chunk_segments)
+    if t_from is not None:
+        rows = rows.where(F.col("ts") >= F.lit(int(t_from)))
+    if t_to is not None:
+        rows = rows.where(F.col("ts") <= F.lit(int(t_to)))
+    if v_from is not None:
+        rows = rows.where(F.col("value") >= F.lit(float(v_from)))
+    if v_to is not None:
+        rows = rows.where(F.col("value") <= F.lit(float(v_to)))
+    return rows
 
 
 def decompress_segments(segments, chunk_segments: int = 1024):

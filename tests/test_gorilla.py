@@ -214,3 +214,73 @@ try:
 
 except ImportError:  # pragma: no cover — hypothesis not installed
     pass
+
+
+def test_segment_stats_and_pruned_query(spark):
+    """with_stats chunk-index columns + query_segments: pruned query
+    equals decompress-everything-then-filter, and the metadata filter
+    actually prunes (fewer blobs reach the decode UDF)."""
+    from pyspark.sql import functions as F
+
+    from getml_community_spark.functions.gorilla import (
+        compress_rollup,
+        decompress_segments,
+        query_segments,
+    )
+
+    # 6 sources x 10 days of hourly points, values = source-dependent band
+    rows = []
+    base = 1_700_000_000 - 1_700_000_000 % 86400
+    for si in range(6):
+        for d in range(10):
+            for h in range(24):
+                t = base + d * 86400 + h * 3600
+                rows.append((f"s{si}", t, float(si * 100 + h)))
+    agg = spark.createDataFrame(rows, "source string, epoch long, rate double").select(
+        "source", F.timestamp_seconds("epoch").alias("bucket_start"), "rate"
+    )
+    segs = compress_rollup(agg, with_stats=True).cache()
+    assert {"t_min", "t_max", "v_min", "v_max"} <= set(segs.columns)
+
+    # stats are exact per segment
+    chk = segs.where((F.col("source") == "s2")).orderBy("day").first()
+    assert chk["v_min"] == 200.0 and chk["v_max"] == 223.0
+    assert chk["t_max"] - chk["t_min"] == 23 * 3600
+
+    # a 2-day, one-band query
+    t_from, t_to = base + 3 * 86400, base + 5 * 86400 - 1
+    v_from, v_to = 300.0, 310.0
+    got = (
+        query_segments(segs, t_from, t_to, v_from, v_to)
+        .toPandas()
+        .sort_values(["source", "ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        decompress_segments(segs)
+        .where(
+            (F.col("ts") >= t_from)
+            & (F.col("ts") <= t_to)
+            & (F.col("value") >= v_from)
+            & (F.col("value") <= v_to)
+        )
+        .toPandas()
+        .sort_values(["source", "ts"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert len(got) == 2 * 11  # 2 days x hours 0..10 of source s3
+
+    # pruning really happened: only s3's 2 overlapping days survive
+    pred_surviving = segs.where(
+        (F.col("t_max") >= t_from)
+        & (F.col("t_min") <= t_to)
+        & (F.col("v_max") >= v_from)
+        & (F.col("v_min") <= v_to)
+    ).count()
+    assert pred_surviving == 2
+    assert segs.count() == 60
+
+    # no-predicate query == full decode
+    assert query_segments(segs).count() == decompress_segments(segs).count()
+    segs.unpersist()
