@@ -350,6 +350,7 @@ class RollupJob:
             ts_col="bucket_start",
             value_col=spec.compress_value,
             source_col="source",
+            with_stats=spec.segment_stats,
         ).cache()
         seg_stats = {
             str(r["day"]): (r["n"], r["b"])
@@ -411,6 +412,23 @@ class RollupJob:
     # ------------------------------------------------------------ #
     def read_tier(self, tier: str) -> DataFrame:
         return self.tables[tier].read(self.spark)
+
+    def query_compressed(
+        self,
+        t_from: int | None = None,
+        t_to: int | None = None,
+        v_from: float | None = None,
+        v_to: float | None = None,
+    ) -> DataFrame:
+        """Point query over the job's compressed segment store with
+        chunk-index pruning (requires spec.segment_stats)."""
+        if not self.spec.segment_stats:
+            raise ValueError("spec.segment_stats is off — no chunk index stored")
+        from ..functions.gorilla import query_segments
+
+        return query_segments(
+            self.segments.read(self.spark), t_from, t_to, v_from, v_to
+        )
 
     def read_hist_quantiles(self, tier: str, qs: tuple = (0.5, 0.95, 0.99)) -> DataFrame:
         """Quantiles from the maintained histogram tier (requires

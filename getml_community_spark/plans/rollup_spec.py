@@ -33,6 +33,11 @@ class RollupSpec:
     # hist_bin_width) — cascaded by adding counts, same day
     # partitioning / lineage / retention as the core tiers
     hist_bin_width: float | None = None
+    # store per-segment t/v min-max chunk-index columns with the Gorilla
+    # blobs so query_segments can prune without decoding (new stores
+    # default on; flag participates in spec_hash so resumed pre-index
+    # stores keep their schema)
+    segment_stats: bool = True
 
     def spec_hash(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True, default=str)

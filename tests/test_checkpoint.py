@@ -285,3 +285,34 @@ def test_hist_tiers_maintained_resumable_and_expired(spark, corpus_path, tmp_pat
     # quantile reader works over the maintained tier
     q = job1.read_hist_quantiles("1h", qs=(0.5, 0.99)).toPandas()
     assert {"p50", "p99", "cnt"} <= set(q.columns) and len(q) > 0
+
+
+def test_job_segment_chunk_index_query(spark, corpus_path, tmp_path):
+    """The job's segment store carries the chunk index by default and
+    query_compressed prunes + matches a full decode-filter."""
+    from pyspark.sql import functions as F
+
+    from getml_community_spark.functions.gorilla import decompress_segments
+
+    out = str(tmp_path / "qjob")
+    job = RollupJob(spark, RollupSpec(), corpus_path, out)
+    job.run()
+    segs = job.segments.read(spark)
+    assert {"t_min", "t_max", "v_min", "v_max"} <= set(segs.columns)
+
+    days = sorted(p["day"] for p in job.segments.partitions())
+    import datetime as dt
+
+    mid = dt.date.fromisoformat(days[len(days) // 2])
+    t_from = int(dt.datetime(mid.year, mid.month, mid.day, tzinfo=dt.timezone.utc).timestamp())
+    t_to = t_from + 86400 - 1
+    got = job.query_compressed(t_from=t_from, t_to=t_to).toPandas()
+    want = (
+        decompress_segments(segs)
+        .where((F.col("ts") >= t_from) & (F.col("ts") <= t_to))
+        .toPandas()
+    )
+    key = ["source", "ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got.equals(want) and len(got) > 0
