@@ -214,7 +214,17 @@ class SnapshotTable:
         return {"expired_snapshots": len(expired), "removed_data_dirs": removed_dirs}
 
     # ---- reads -------------------------------------------------------- #
-    def read(self, spark: SparkSession, snapshot_id: str | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: str | None = None,
+        partition_filter=None,
+    ) -> DataFrame:
+        """Read a snapshot; ``partition_filter`` (partition dict → bool)
+        drops manifest entries BEFORE any DataFrame is built — Iceberg's
+        manifest-level partition pruning: excluded partitions never
+        appear in the plan, so a day-range query over a year-long table
+        plans scans for only the requested days."""
         snap = self._load(snapshot_id) if snapshot_id else self.current()
         if snap is None or not snap.entries:
             raise FileNotFoundError(f"no snapshot/data in {self.root}")
@@ -222,8 +232,18 @@ class SnapshotTable:
 
         from pyspark.sql import functions as F
 
+        entries = snap.entries
+        if partition_filter is not None:
+            entries = [e for e in entries if partition_filter(e["partition"])]
+            if not entries:
+                # empty-but-typed frame from the first entry's schema
+                d = spark.read.parquet(snap.entries[0]["path"]).where(F.lit(False))
+                types = snap.entries[0].get("types", {})
+                for k, v in snap.entries[0]["partition"].items():
+                    d = d.withColumn(k, F.lit(v).cast(types.get(k, "string")))
+                return d
         dfs = []
-        for e in snap.entries:
+        for e in entries:
             d = spark.read.parquet(e["path"])
             types = e.get("types", {})
             for k, v in e["partition"].items():

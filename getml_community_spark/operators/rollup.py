@@ -28,6 +28,8 @@ __all__ = [
     "TIER_SECONDS",
     "rollup_from_raw",
     "rollup_cascade",
+    "rollup_to_step",
+    "choose_tier",
     "rollup_battery",
     "salted_rollup",
 ]
@@ -108,7 +110,21 @@ def rollup_cascade(lower: DataFrame, to_tier: str) -> DataFrame:
     contribute nothing: their min/max are NULL and Spark min/max skip
     NULLs, matching an aggregate over the union of raw rows exactly.
     """
-    sec = TIER_SECONDS[to_tier]
+    return rollup_to_step(lower, TIER_SECONDS[to_tier])
+
+
+def rollup_to_step(lower: DataFrame, step_seconds: int) -> DataFrame:
+    """Re-bucket a rollup tier to an arbitrary epoch-aligned ``step``.
+
+    The generalized :func:`rollup_cascade`: valid whenever every source
+    bucket nests inside a step bucket, i.e. the source tier's width
+    divides ``step_seconds`` (both bucketings are epoch-aligned, so
+    divisibility is also sufficient). This is the range-query router's
+    re-bucketing stage — e.g. serve a 2h-resolution chart from the 1h
+    tier without touching raw (Thanos/TimescaleDB downsampled-read
+    pattern). Same composable-aggregate rules as the cascade.
+    """
+    sec = int(step_seconds)
     bucket = _bucket_epoch("bucket_start", sec)
     integral = _is_integral(lower, "sum_n_tok")
     s = F.coalesce(F.sum("sum_n_tok"), F.lit(0))
@@ -128,6 +144,28 @@ def rollup_cascade(lower: DataFrame, to_tier: str) -> DataFrame:
             *CORE_AGG_COLS,
         )
     )
+
+
+def choose_tier(step_seconds: int, tiers=None) -> str:
+    """Pick the coarsest maintained tier that can serve a range query at
+    ``step_seconds`` resolution: the widest tier whose width divides the
+    step (epoch alignment makes divisibility sufficient for nesting).
+    Reading 2h buckets from the 1d tier would be wrong (a day cannot be
+    split); reading them from the 1m tier would scan 60× more rows than
+    the 1h tier — this is the router's whole value at 10^12 rows.
+    """
+    sec = int(step_seconds)
+    if sec <= 0:
+        raise ValueError("step_seconds must be positive")
+    candidates = [
+        t for t in (tiers or list(TIER_SECONDS)) if sec % TIER_SECONDS[t] == 0
+    ]
+    if not candidates:
+        raise ValueError(
+            f"no maintained tier divides step={sec}s "
+            f"(tiers: { {t: TIER_SECONDS[t] for t in (tiers or TIER_SECONDS)} })"
+        )
+    return max(candidates, key=lambda t: TIER_SECONDS[t])
 
 
 def rollup_battery(

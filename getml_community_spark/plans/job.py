@@ -430,6 +430,86 @@ class RollupJob:
             self.segments.read(self.spark), t_from, t_to, v_from, v_to
         )
 
+    def query_range(
+        self,
+        t_from: int,
+        t_to: int,
+        step_seconds: int,
+        realtime: bool = False,
+    ) -> DataFrame:
+        """Tier-aware range query: (source, step-bucket) core aggregates
+        for epoch range ``[t_from, t_to)`` at ``step_seconds`` resolution.
+
+        The router (Thanos downsampled-read / TimescaleDB real-time
+        aggregate pattern):
+
+        1. picks the COARSEST maintained tier whose width divides the
+           step (``choose_tier``) — a 2h chart reads the 1h tier, not
+           60× as many 1m rows, and never raw;
+        2. prunes day partitions at the MANIFEST level
+           (``SnapshotTable.read(partition_filter=...)``) — days outside
+           the range never enter the plan;
+        3. re-buckets with ``rollup_to_step`` (skipped when the step IS
+           the tier width);
+        4. with ``realtime=True``, unions an on-the-fly rollup of input
+           days not yet committed to the chosen tier (the un-rolled
+           head), so results are as fresh as raw without waiting for the
+           next ``run()``.
+
+        ``t_from``/``t_to`` must be step-aligned (exact bucket
+        semantics). Days expired from the chosen tier by retention are
+        absent from the result — query a coarser step (served by a
+        longer-retained tier) for old history.
+        """
+        import datetime as dt
+
+        from ..operators.rollup import choose_tier, rollup_to_step
+
+        sec = int(step_seconds)
+        if t_from % sec or t_to % sec:
+            raise ValueError("t_from/t_to must be multiples of step_seconds")
+        if t_to <= t_from:
+            raise ValueError("empty range")
+        tier = choose_tier(sec, self.spec.tiers)
+
+        d_from = dt.datetime.fromtimestamp(t_from, dt.timezone.utc).date()
+        d_to = dt.datetime.fromtimestamp(t_to - 1, dt.timezone.utc).date()
+
+        def _in_range(p: dict) -> bool:
+            d = p.get("day")
+            return bool(d) and d_from <= dt.date.fromisoformat(d) <= d_to
+
+        rows = self.tables[tier].read(self.spark, partition_filter=_in_range)
+        rows = rows.drop("day")
+        epoch = F.col("bucket_start").cast("timestamp").cast("long")
+        rows = rows.where((epoch >= t_from) & (epoch < t_to))
+
+        if realtime:
+            from ..operators.rollup import rollup_from_raw
+
+            done = self._done_days(tier)
+            inp = self._input()
+            ts_epoch = F.col(self.spec.ts_col).cast("timestamp").cast("long")
+            head = inp.where(
+                (F.col("event_date").cast("string") >= str(d_from))
+                & (F.col("event_date").cast("string") <= str(d_to))
+                & (~F.col("event_date").cast("string").isin(sorted(done)) if done else F.lit(True))
+                & (ts_epoch >= t_from)
+                & (ts_epoch < t_to)
+            )
+            head_rolled = rollup_from_raw(
+                head,
+                tier,
+                self.spec.source_col,
+                self.spec.ts_col,
+                self.spec.value_col,
+            )
+            rows = rows.unionByName(head_rolled)
+
+        if sec != TIER_SECONDS[tier]:
+            rows = rollup_to_step(rows, sec)
+        return rows
+
     def read_hist_quantiles(self, tier: str, qs: tuple = (0.5, 0.95, 0.99)) -> DataFrame:
         """Quantiles from the maintained histogram tier (requires
         spec.hist_bin_width)."""

@@ -316,3 +316,99 @@ def test_job_segment_chunk_index_query(spark, corpus_path, tmp_path):
     got = got.sort_values(key).reset_index(drop=True)
     want = want.sort_values(key).reset_index(drop=True)
     assert got.equals(want) and len(got) > 0
+
+
+# --------------------------------------------------------------------- #
+# tier-aware range-query router
+# --------------------------------------------------------------------- #
+EPOCH_2025 = 1735689600  # corpus origin (datagen.EPOCH_START)
+
+
+def test_choose_tier_picks_coarsest_divisor():
+    from getml_community_spark.operators.rollup import choose_tier
+
+    assert choose_tier(60) == "1m"
+    assert choose_tier(180) == "1m"  # 180 % 3600 != 0 — 1h can't serve it
+    assert choose_tier(7200) == "1h"
+    assert choose_tier(86400) == "1d"
+    assert choose_tier(2 * 86400) == "1d"
+    with pytest.raises(ValueError):
+        choose_tier(90)  # no tier divides 90s
+    with pytest.raises(ValueError):
+        choose_tier(0)
+
+
+def test_query_range_matches_raw_and_prunes(spark, corpus_path, tmp_path):
+    """query_range == a from-scratch rollup of the raw rows in range,
+    and the pruned read only plans files for in-range day partitions."""
+    from pyspark.sql import functions as F
+
+    from getml_community_spark.operators.rollup import (
+        rollup_from_raw,
+        rollup_to_step,
+    )
+
+    out = str(tmp_path / "router")
+    job = RollupJob(spark, RollupSpec(), corpus_path, out)
+    job.run()
+
+    t0 = EPOCH_2025 + 3 * 86400  # day 4, midnight (2h-aligned)
+    t1 = EPOCH_2025 + 5 * 86400 + 6 * 7200  # into day 6
+    got = job.query_range(t0, t1, 7200).toPandas()
+
+    raw = spark.read.parquet(corpus_path)
+    ep = F.col("event_time").cast("timestamp").cast("long")
+    want = rollup_to_step(
+        rollup_from_raw(raw.where((ep >= t0) & (ep < t1)), "1m"), 7200
+    ).toPandas()
+    assert_frames_equal_unordered(got, want, ["source", "bucket_start"])
+    assert len(got) > 0
+
+    # manifest pruning: only in-range day dirs appear in the plan
+    import datetime as dt
+
+    def keep(p):
+        return p.get("day") and "2025-01-04" <= p["day"] <= "2025-01-06"
+
+    pruned = job.tables["1h"].read(spark, partition_filter=keep)
+    files = pruned.inputFiles()
+    assert files and all(
+        any(f"day={d}" in f for d in ("2025-01-04", "2025-01-05", "2025-01-06"))
+        for f in files
+    )
+    # empty prune returns a typed empty frame
+    none = job.tables["1h"].read(spark, partition_filter=lambda p: False)
+    assert none.count() == 0 and "bucket_start" in none.columns
+
+    # unaligned range is rejected
+    with pytest.raises(ValueError):
+        job.query_range(t0 + 1, t1, 7200)
+
+
+def test_query_range_realtime_head(spark, corpus_path, tmp_path):
+    """With only 10 of 14 days committed, realtime=True serves the
+    un-rolled head from raw and matches a full from-scratch rollup;
+    realtime=False sees only committed buckets."""
+    from pyspark.sql import functions as F
+
+    from getml_community_spark.operators.rollup import rollup_from_raw
+
+    out = str(tmp_path / "rt")
+    job = RollupJob(spark, RollupSpec(), corpus_path, out)
+    job.run(max_partitions=10)  # days 11..14 pending
+
+    t0 = EPOCH_2025 + 8 * 86400
+    t1 = EPOCH_2025 + 14 * 86400
+    raw = spark.read.parquet(corpus_path)
+    ep = F.col("event_time").cast("timestamp").cast("long")
+    want = rollup_from_raw(raw.where((ep >= t0) & (ep < t1)), "1h").toPandas()
+
+    fresh = job.query_range(t0, t1, 3600, realtime=True).toPandas()
+    assert_frames_equal_unordered(fresh, want, ["source", "bucket_start"])
+
+    stale = job.query_range(t0, t1, 3600, realtime=False).toPandas()
+    assert len(stale) < len(want)
+    # after finishing the job, the stale path converges too
+    job.run()
+    done = job.query_range(t0, t1, 3600).toPandas()
+    assert_frames_equal_unordered(done, want, ["source", "bucket_start"])
