@@ -170,6 +170,100 @@ class SnapshotTable:
         return self._commit(entries)
 
     # ---- maintenance --------------------------------------------------- #
+    def compact_partitions(
+        self, spark: SparkSession, predicate=None, min_files: int = 2
+    ) -> dict:
+        """Iceberg ``rewrite_data_files`` (binpack): rewrite every
+        partition that is fragmented — more than one manifest entry, or
+        at least ``min_files`` parquet files — into ONE file, and commit
+        a snapshot swapping the old entries for the new ones.
+
+        Fragmentation is what a resumable, late-data-repairing job
+        produces by design (each shuffle task writes its own file per
+        day; re-rolls append fresh dirs), and at 10^12 rows small files
+        dominate scan setup cost. The rewrite is ONE Spark job for all
+        selected partitions: ``repartition(partition cols)`` coalesces
+        each partition's rows into a single task, dynamic ``partitionBy``
+        splits the dirs back out — no per-partition driver loop. Readers
+        are never disturbed: data lands in a fresh append dir first, the
+        manifest swap is the last (atomic) step, and prior snapshots
+        still reference the old files until ``expire_snapshots``.
+        ``predicate`` (partition dict → bool) restricts the candidate
+        set. Returns {partitions, files_before, files_after, snapshot}.
+        """
+        cur = self.current()
+        report = {"partitions": 0, "files_before": 0, "files_after": 0, "snapshot": None}
+        if cur is None or not cur.entries:
+            return report
+
+        def _nfiles(path: str) -> int:
+            return sum(
+                1
+                for _, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        groups: dict[tuple, list[dict]] = {}
+        for e in cur.entries:
+            groups.setdefault(tuple(sorted(e["partition"].items())), []).append(e)
+        selected = {
+            k: es
+            for k, es in groups.items()
+            if (predicate is None or predicate(dict(k)))
+            and (len(es) > 1 or sum(_nfiles(e["path"]) for e in es) >= min_files)
+        }
+        if not selected:
+            return report
+
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        dfs, types = [], {}
+        for es in selected.values():
+            for e in es:
+                d = spark.read.parquet(e["path"])
+                types = e.get("types", types) or types
+                for k, v in e["partition"].items():
+                    d = d.withColumn(k, F.lit(v).cast(types.get(k, "string")))
+                dfs.append(d)
+        df = reduce(lambda a, b: a.unionByName(b), dfs)
+
+        dir_id = uuid.uuid4().hex[:16]
+        path = os.path.join(self.root, "data", dir_id)
+        if self.partition_by:
+            (
+                df.repartition(*[F.col(c) for c in self.partition_by])
+                .write.mode("error")
+                .partitionBy(*self.partition_by)
+                .parquet(path)
+            )
+            new_entries = [
+                {
+                    "path": sub,
+                    "partition": self._parse_partition(sub, path),
+                    "types": types,
+                }
+                for sub in self._partition_dirs(path)
+            ]
+        else:
+            df.coalesce(1).write.mode("error").parquet(path)
+            new_entries = [{"path": path, "partition": {}}]
+
+        old = {id(e) for es in selected.values() for e in es}
+        entries = [e for e in cur.entries if id(e) not in old] + new_entries
+        sid = self._commit(entries)
+        report.update(
+            partitions=len(selected),
+            files_before=sum(
+                _nfiles(e["path"]) for es in selected.values() for e in es
+            ),
+            files_after=sum(_nfiles(e["path"]) for e in new_entries),
+            snapshot=sid,
+        )
+        return report
+
     def expire_snapshots(
         self, keep_last: int = 10, remove_orphan_data: bool = False
     ) -> dict:

@@ -410,6 +410,41 @@ class RollupJob:
                 )
 
     # ------------------------------------------------------------ #
+    def compact(self, min_files: int = 2) -> dict:
+        """Maintenance pass: rewrite fragmented day partitions of every
+        tier / histogram / segment table into one file each
+        (``SnapshotTable.compact_partitions``) and log one lineage row
+        per table (tier=``compact[<table>]``; rows_in/rows_out carry
+        files before/after — the rewrite moves files, not rows). Safe to
+        run any time: compaction commits snapshots, so a concurrent
+        resume sees either the old or the new layout, both complete."""
+        reports, rows = {}, []
+        for name, table in {
+            **{t: tbl for t, tbl in self.tables.items()},
+            **{f"hist_{t}": tbl for t, tbl in self.hist_tables.items()},
+            "segments": self.segments,
+        }.items():
+            t0 = time.time()
+            rep = table.compact_partitions(self.spark, min_files=min_files)
+            reports[name] = rep
+            if rep["partitions"]:
+                rows.append(
+                    {
+                        "job_id": self.job_id,
+                        "spec_hash": self.spec.spec_hash(),
+                        "tier": f"compact[{name}]",
+                        "partition_id": f"{rep['partitions']} partitions",
+                        "snapshot_id": rep["snapshot"],
+                        "rows_in": rep["files_before"],
+                        "rows_out": rep["files_after"],
+                        "bytes_compressed": 0,
+                        "wall_seconds": time.time() - t0,
+                        "committed_at": time.time(),
+                    }
+                )
+        self.lineage.append(rows)
+        return reports
+
     def read_tier(self, tier: str) -> DataFrame:
         return self.tables[tier].read(self.spark)
 

@@ -412,3 +412,51 @@ def test_query_range_realtime_head(spark, corpus_path, tmp_path):
     job.run()
     done = job.query_range(t0, t1, 3600).toPandas()
     assert_frames_equal_unordered(done, want, ["source", "bucket_start"])
+
+
+# --------------------------------------------------------------------- #
+# compaction (rewrite_data_files)
+# --------------------------------------------------------------------- #
+def test_compaction_preserves_rows_and_time_travel(spark, corpus_path, tmp_path):
+    """compact() rewrites fragmented day partitions into one file each;
+    rows are bit-identical before/after; the pre-compaction snapshot
+    still reads the old files (time travel); orphan cleanup then drops
+    them."""
+    out = str(tmp_path / "compact")
+    job = RollupJob(spark, RollupSpec(), corpus_path, out)
+    job.run(max_partitions=7)
+    job.run()  # two appends → several entries + shuffle-task files per day
+
+    table = job.tables["1h"]
+    pre_snap = table.current_snapshot_id()
+    before = table.read(spark).toPandas()
+    files_before = len(table.read(spark).inputFiles())
+
+    reports = job.compact()
+    rep = reports["1h"]
+    assert rep["partitions"] > 0 and rep["files_after"] < rep["files_before"]
+    # one file per compacted day partition
+    assert rep["files_after"] == rep["partitions"]
+
+    after = table.read(spark).toPandas()
+    assert_frames_equal_unordered(after, before, ["source", "bucket_start"])
+    assert len(table.read(spark).inputFiles()) < files_before
+
+    # time travel to the pre-compaction snapshot still works
+    old = table.read(spark, snapshot_id=pre_snap).toPandas()
+    assert_frames_equal_unordered(old, before, ["source", "bucket_start"])
+
+    # idempotent: nothing left to compact
+    assert job.tables["1h"].compact_partitions(spark)["partitions"] == 0
+
+    # lineage rows record the rewrite
+    lin = job.lineage.read_pandas()
+    comp = lin[lin["tier"] == "compact[1h]"]
+    assert len(comp) == 1 and int(comp.iloc[0]["rows_in"]) == rep["files_before"]
+
+    # snapshot expiry + orphan removal reclaims the old files
+    table.expire_snapshots(keep_last=1, remove_orphan_data=True)
+    again = table.read(spark).toPandas()
+    assert_frames_equal_unordered(again, before, ["source", "bucket_start"])
+    with pytest.raises(FileNotFoundError):
+        table._load(pre_snap)
