@@ -62,6 +62,14 @@ class RollupJob:
             if spec.hist_bin_width
             else {}
         )
+        self.dist_tables = (
+            {
+                tier: SnapshotTable(f"{out_root}/dist_{tier}", partition_by=["day"])
+                for tier in spec.tiers
+            }
+            if spec.distinct_col
+            else {}
+        )
         self.segments = SnapshotTable(f"{out_root}/segments", partition_by=["day"])
         self.lineage = LineageLog(f"{out_root}/lineage")
         self.state = JobState(f"{out_root}/state")
@@ -142,11 +150,15 @@ class RollupJob:
             t: {p.get("day") for p in tbl.partitions() if p.get("day")}
             for t, tbl in self.hist_tables.items()
         }
+        dist_days = {
+            t: {p.get("day") for p in tbl.partitions() if p.get("day")}
+            for t, tbl in self.dist_tables.items()
+        }
         seg_days = {
             p.get("day") for p in self.segments.partitions() if p.get("day")
         }
         present: set[str] = set().union(
-            seg_days, *tier_days.values(), *hist_days.values()
+            seg_days, *tier_days.values(), *hist_days.values(), *dist_days.values()
         )
         if not present:
             return set()
@@ -163,12 +175,17 @@ class RollupJob:
                 d in hist_days[t] or not self._tier_required(t, d, frontier)
                 for t in self.hist_tables
             )
+            and all(
+                d in dist_days[t] or not self._tier_required(t, d, frontier)
+                for t in self.dist_tables
+            )
         }
         partial = present - complete
         if partial:
             for table in [
                 *self.tables.values(),
                 *self.hist_tables.values(),
+                *self.dist_tables.values(),
                 self.segments,
             ]:
                 table.delete_partitions(lambda p: p.get("day") in partial)
@@ -207,7 +224,15 @@ class RollupJob:
                     if fps.get(d) != last.get("fps", {}).get(d)
                 }
                 if changed:
-                    for table in [*self.tables.values(), self.segments]:
+                    # every table family, not just core tiers: a stale
+                    # hist/dist partition surviving the re-roll would be
+                    # double-appended (duplicate rows on read)
+                    for table in [
+                        *self.tables.values(),
+                        *self.hist_tables.values(),
+                        *self.dist_tables.values(),
+                        self.segments,
+                    ]:
                         table.delete_partitions(
                             lambda p: p.get("day") in changed
                         )
@@ -344,6 +369,52 @@ class RollupJob:
                     spec_hash, in_snap, [(f"hist_{tier}", d) for d in pending]
                 )
 
+        # ---- HLL distinct-count tiers, when configured ----
+        if self.dist_tables:
+            from ..operators.distinct import hll_cascade, hll_rollup_from_raw
+
+            dd = hll_rollup_from_raw(
+                sel,
+                base_tier,
+                distinct_col=spec.distinct_col,
+                source_col=spec.source_col,
+                ts_col=spec.ts_col,
+                lg_k=spec.hll_lg_k,
+            ).withColumn("day", F.to_date("bucket_start"))
+            for tier in spec.tiers:
+                if tier != base_tier:
+                    dd = hll_cascade(dd.drop("day"), tier).withColumn(
+                        "day", F.to_date("bucket_start")
+                    ).where(F.col("day").isin(pending))
+                dd = dd.cache()
+                d_out = {
+                    str(r["day"]): r["rows"]
+                    for r in dd.groupBy("day")
+                    .agg(F.count(F.lit(1)).alias("rows"))
+                    .collect()
+                }
+                dsnap = self.dist_tables[tier].append(dd)
+                lineage_rows += [
+                    {
+                        "job_id": self.job_id,
+                        "spec_hash": spec_hash,
+                        "tier": f"dist_{tier}",
+                        "partition_id": d,
+                        "snapshot_id": dsnap,
+                        "rows_in": in_stats.get(d, (0, 0))[0]
+                        if tier == base_tier
+                        else 0,
+                        "rows_out": d_out.get(d, 0),
+                        "bytes_compressed": 0,
+                        "wall_seconds": 0.0,
+                        "committed_at": time.time(),
+                    }
+                    for d in pending
+                ]
+                self.state.mark(
+                    spec_hash, in_snap, [(f"dist_{tier}", d) for d in pending]
+                )
+
         # ---- Gorilla compression of the configured tier ----
         segs = compress_rollup(
             agg.drop("day"),
@@ -403,6 +474,7 @@ class RollupJob:
             for table in [
                 self.tables[tier],
                 *([self.hist_tables[tier]] if tier in self.hist_tables else []),
+                *([self.dist_tables[tier]] if tier in self.dist_tables else []),
             ]:
                 table.delete_partitions(
                     lambda p: p.get("day")
@@ -422,6 +494,7 @@ class RollupJob:
         for name, table in {
             **{t: tbl for t, tbl in self.tables.items()},
             **{f"hist_{t}": tbl for t, tbl in self.hist_tables.items()},
+            **{f"dist_{t}": tbl for t, tbl in self.dist_tables.items()},
             "segments": self.segments,
         }.items():
             t0 = time.time()
@@ -559,6 +632,18 @@ class RollupJob:
             qs=qs,
             bin_width=self.spec.hist_bin_width,
         )
+
+    def read_distinct(self, tier: str) -> DataFrame:
+        """Distinct-count estimates from the maintained HLL tier
+        (requires RollupSpec.distinct_col). Exact while per-bucket
+        cardinality stays in the sketch's coupon range; ±~1% beyond."""
+        if tier not in self.dist_tables:
+            raise ValueError(
+                f"no distinct tier {tier!r} (set RollupSpec.distinct_col)"
+            )
+        from ..operators.distinct import hll_estimates
+
+        return hll_estimates(self.dist_tables[tier].read(self.spark).drop("day"))
 
     def read_tier_dense(self, tier: str) -> DataFrame:
         return gapfill(

@@ -38,6 +38,12 @@ class RollupSpec:
     # default on; flag participates in spec_hash so resumed pre-index
     # stores keep their schema)
     segment_stats: bool = True
+    # when set, the job ALSO maintains mergeable HLL distinct-count
+    # tiers (operators/distinct.py) of this column at every tier —
+    # sketches union losslessly through the cascade, same day
+    # partitioning / lineage / retention as the core tiers
+    distinct_col: str | None = None
+    hll_lg_k: int = 12
 
     def spec_hash(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True, default=str)

@@ -460,3 +460,51 @@ def test_compaction_preserves_rows_and_time_travel(spark, corpus_path, tmp_path)
     assert_frames_equal_unordered(again, before, ["source", "bucket_start"])
     with pytest.raises(FileNotFoundError):
         table._load(pre_snap)
+
+
+def test_late_reroll_does_not_duplicate_hist_or_dist(spark, corpus_path, tmp_path):
+    """Regression (round 5): the late-data re-roll must also drop the
+    changed day's HIST and DIST partitions — leaving them behind
+    double-appends the day (duplicate rows on read)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    inp = str(tmp_path / "inp")
+    shutil.copytree(corpus_path, inp)
+    spec = RollupSpec(hist_bin_width=16.0, distinct_col="doc_id")
+    out = str(tmp_path / "latehd")
+    RollupJob(spark, spec, inp, out).run()
+
+    full = spark.read.parquet(inp)
+    d0 = full.selectExpr("min(to_date(event_time))").collect()[0][0]
+    late_pdf = full.where(F.to_date("event_time") == d0).toPandas()
+    spark.createDataFrame(late_pdf).write.mode("append").partitionBy(
+        "event_date"
+    ).parquet(inp)
+
+    job = RollupJob(spark, spec, inp, out)
+    assert job.run()["days_processed"] == 1
+
+    # hist/dist buckets for the re-rolled day appear exactly once
+    for tbl in (job.hist_tables["1h"], job.dist_tables["1h"]):
+        df = tbl.read(spark).where(F.col("day") == F.lit(d0))
+        key_cols = [c for c in ("source", "bucket_start", "bin") if c in df.columns]
+        dup = (
+            df.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .count()
+        )
+        assert dup == 0
+    # and the dist estimates still match a from-scratch computation
+    from getml_community_spark.operators.distinct import (
+        hll_estimates,
+        hll_rollup_from_raw,
+    )
+
+    want = hll_estimates(
+        hll_rollup_from_raw(spark.read.parquet(inp), "1h")
+    ).toPandas()
+    got = job.read_distinct("1h").toPandas()
+    assert_frames_equal_unordered(got, want, ["source", "bucket_start"])
