@@ -129,6 +129,65 @@ def q_rollup_1h_cascade(spark, sf):
     )
 
 
+_RANGE_T0 = 1704067200 + 2 * 86400  # 2024-01-03T00Z, 2h-aligned
+_RANGE_T1 = 1704067200 + 9 * 86400  # 2024-01-10T00Z
+
+
+def q_range_rebucket_2h(spark, sf):
+    """Range-query router core (plans/job.py::query_range): serve a
+    2h-resolution range from the 1h tier — cascade 1m→1h, range-filter,
+    re-bucket with rollup_to_step(7200). The oracle aggregates raw rows
+    in the same epoch range directly at 7200s, proving tier choice +
+    re-bucketing loses nothing."""
+    from getml_community_spark.operators.rollup import (
+        rollup_cascade,
+        rollup_from_raw,
+        rollup_to_step,
+    )
+
+    ev = _load(spark, sf, "events")
+    h1 = rollup_cascade(
+        rollup_from_raw(ev, "1m", source_col="user_id", ts_col="ts", value_col="value"),
+        "1h",
+    )
+    ep = F.col("bucket_start").cast("timestamp").cast("long")
+    r = rollup_to_step(h1.where((ep >= _RANGE_T0) & (ep < _RANGE_T1)), 7200)
+    return r.select(
+        F.col("source").alias("user_id"),
+        "bucket_start",
+        "cnt",
+        _r(F.col("sum_n_tok")).alias("sum_value"),
+        _r(F.col("min_n_tok")).alias("min_value"),
+        _r(F.col("max_n_tok")).alias("max_value"),
+        (F.floor(F.col("rate") * 1e6 + F.lit(0.5)) / 1e6).alias("rate"),
+    )
+
+
+def q_distinct_hll_1h(spark, sf):
+    """Mergeable HLL distinct-count tier (operators/distinct.py):
+    distinct event_type per (user_id, 1h), cascaded 1m→1h through
+    hll_union_agg. Per-bucket cardinality (≤5 types) keeps the sketch
+    in coupon (exact) mode, so the estimate equals the oracle's exact
+    COUNT(DISTINCT ...)."""
+    from getml_community_spark.operators.distinct import (
+        hll_cascade,
+        hll_estimates,
+        hll_rollup_from_raw,
+    )
+
+    ev = _load(spark, sf, "events")
+    m1 = hll_rollup_from_raw(
+        ev, "1m", distinct_col="event_type", source_col="user_id", ts_col="ts"
+    )
+    est = hll_estimates(hll_cascade(m1, "1h"))
+    return est.select(
+        F.col("source").alias("user_id"),
+        "bucket_start",
+        F.col("n_distinct").cast("long").alias("n_types"),
+        "cnt",
+    )
+
+
 def q_rollup_1d_cascade(spark, sf):
     from getml_community_spark.operators.rollup import rollup_cascade, rollup_from_raw
 
@@ -1937,6 +1996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- 1: no driver row yet -------------------------------------
+        "range_rebucket_2h": q_range_rebucket_2h,
+        "distinct_hll_1h": q_distinct_hll_1h,
         "counter_rate_1h": q_counter_rate_1h,
         "hist_quantile_1h": q_hist_quantile_1h,
         "mjpeg_frames": q_mjpeg_frames,
@@ -2174,6 +2235,25 @@ def oracle_sql() -> dict[str, str]:
     FROM events GROUP BY 1, 2
     """
     return {
+        "range_rebucket_2h": f"""
+            SELECT user_id,
+                   CAST(to_timestamp(CAST(floor(epoch(ts) / 7200) * 7200 AS BIGINT))
+                        AS TIMESTAMP) AS bucket_start,
+                   count(value) AS cnt,
+                   round(sum(value), 6) AS sum_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value,
+                   floor(sum(value) / 7200.0 * 1e6 + 0.5) / 1e6 AS rate
+            FROM events
+            WHERE epoch(ts) >= {_RANGE_T0} AND epoch(ts) < {_RANGE_T1}
+            GROUP BY 1, 2
+        """,
+        "distinct_hll_1h": """
+            SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        """,
         "rollup_1m": core_rollup.format(unit="minute", secs=60),
         "rollup_1h_cascade": core_rollup.format(unit="hour", secs=3600),
         "rollup_1d_cascade": """
