@@ -67,6 +67,8 @@ HEADLINE = [
     "hist_quantile_1h",
     "mjpeg_frames",
     "counter_rate_1h",
+    "range_rebucket_2h",
+    "distinct_hll_1h",
 ]
 
 
