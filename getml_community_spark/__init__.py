@@ -16,9 +16,16 @@ Layout
 session          SparkSession factory (AQE, Arrow, shuffle tuning, Iceberg-gated)
 datagen          deterministic tokenized-corpus generator (FIXTURES.md §1)
 oracle           numpy implementation of the full aggregation battery (test oracle)
-checkpoint       snapshot-manifest table layer + per-partition lineage + resume
-plans            RollupSpec — the declarative job spec (Placeholder analogue)
-operators        rollup tiers, gap-fill, as-of join, agg battery, dedup,
+checkpoint       snapshot-manifest table layer + per-partition lineage +
+                 resume + compaction (rewrite_data_files) + snapshot expiry
+plans            RollupSpec — the declarative job spec (Placeholder
+                 analogue); RollupJob — resumable tiered pipeline with
+                 tier-aware range-query router (query_range), chunk-index
+                 segment queries, hist/dist tier maintenance
+operators        rollup tiers (+ rollup_to_step/choose_tier), gap-fill,
+                 counter-reset rate (PromQL), mergeable histogram
+                 quantiles, mergeable HLL distinct counts,
+                 as-of join, agg battery, dedup,
                  similarity search, text stats + repetition filters,
                  LM-perplexity scoring, PII redaction, sequence packing,
                  token-budget/stratified sampling, sessionization,
@@ -27,9 +34,10 @@ operators        rollup tiers, gap-fill, as-of join, agg battery, dedup,
                  codecs (BMP/PNG/JPEG/WAV) + plumbing, skew tools
 functions        scalar expression surface, Gorilla numpy kernels, preprocessors
 sources          readers/writers (csv/parquet/json/orc/jdbc; snapshot tables)
-streaming        structured-streaming 1m tier, stateful Gorilla segment
-                 close, watermark-evicted streaming dedup, streaming
-                 anomaly + CUSUM alerts
+streaming        structured-streaming 1m tier (+ histogram tier, counter
+                 walk), stateful Gorilla segment close, watermark-evicted
+                 streaming dedup, streaming anomaly + CUSUM alerts,
+                 native session_window sessions
 """
 
 __version__ = "0.1.0"

@@ -587,10 +587,16 @@ class RollupJob:
             d = p.get("day")
             return bool(d) and d_from <= dt.date.fromisoformat(d) <= d_to
 
-        rows = self.tables[tier].read(self.spark, partition_filter=_in_range)
-        rows = rows.drop("day")
-        epoch = F.col("bucket_start").cast("timestamp").cast("long")
-        rows = rows.where((epoch >= t_from) & (epoch < t_to))
+        try:
+            rows = self.tables[tier].read(self.spark, partition_filter=_in_range)
+            rows = rows.drop("day")
+            epoch = F.col("bucket_start").cast("timestamp").cast("long")
+            rows = rows.where((epoch >= t_from) & (epoch < t_to))
+        except FileNotFoundError:
+            # nothing committed yet — realtime can still serve from raw
+            if not realtime:
+                raise
+            rows = None
 
         if realtime:
             from ..operators.rollup import rollup_from_raw
@@ -612,7 +618,7 @@ class RollupJob:
                 self.spec.ts_col,
                 self.spec.value_col,
             )
-            rows = rows.unionByName(head_rolled)
+            rows = head_rolled if rows is None else rows.unionByName(head_rolled)
 
         if sec != TIER_SECONDS[tier]:
             rows = rollup_to_step(rows, sec)

@@ -384,6 +384,17 @@ def test_query_range_matches_raw_and_prunes(spark, corpus_path, tmp_path):
     with pytest.raises(ValueError):
         job.query_range(t0 + 1, t1, 7200)
 
+    # plan shape: the whole routed query is ONE shuffle (the re-bucket
+    # aggregation) over JVM-only operators
+    plan = (
+        job.query_range(t0, t1, 7200)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1
+    assert "Python" not in plan
+
 
 def test_query_range_realtime_head(spark, corpus_path, tmp_path):
     """With only 10 of 14 days committed, realtime=True serves the
@@ -412,6 +423,14 @@ def test_query_range_realtime_head(spark, corpus_path, tmp_path):
     job.run()
     done = job.query_range(t0, t1, 3600).toPandas()
     assert_frames_equal_unordered(done, want, ["source", "bucket_start"])
+
+    # fresh store (never run): realtime serves entirely from raw;
+    # non-realtime raises (nothing committed)
+    cold = RollupJob(spark, RollupSpec(), corpus_path, str(tmp_path / "cold"))
+    cold_df = cold.query_range(t0, t1, 3600, realtime=True).toPandas()
+    assert_frames_equal_unordered(cold_df, want, ["source", "bucket_start"])
+    with pytest.raises(FileNotFoundError):
+        cold.query_range(t0, t1, 3600)
 
 
 # --------------------------------------------------------------------- #

@@ -105,3 +105,36 @@ def test_spark_pandas_generators_identical(corpus_df, corpus_pdf):
     # timestamps equal to the microsecond
     dt = (got["event_time"] - want["event_time"]).abs()
     assert (dt <= pd.Timedelta(microseconds=1)).all()
+
+
+# ---- property-based: tier choice + step nesting (pure python) -------- #
+try:
+    from hypothesis import given, settings, strategies as st
+
+    from getml_community_spark.operators.rollup import TIER_SECONDS, choose_tier
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        mult=st.integers(min_value=1, max_value=10_000),
+        base=st.sampled_from(["1m", "1h", "1d"]),
+        epoch=st.integers(min_value=0, max_value=4_102_444_800),
+    )
+    def test_choose_tier_widest_divisor_and_nesting(mult, base, epoch):
+        step = TIER_SECONDS[base] * mult
+        tier = choose_tier(step)
+        sec = TIER_SECONDS[tier]
+        # the choice divides the step and is the WIDEST divisor
+        assert step % sec == 0
+        assert all(
+            TIER_SECONDS[t] <= sec
+            for t in TIER_SECONDS
+            if step % TIER_SECONDS[t] == 0
+        )
+        # nesting: bucketing to the tier then to the step == direct step
+        # bucketing (the identity rollup_to_step relies on, in the same
+        # floor(epoch/sec)*sec integer form as _bucket_epoch)
+        tier_bucket = epoch // sec * sec
+        assert tier_bucket // step * step == epoch // step * step
+
+except ImportError:  # pragma: no cover — hypothesis not installed
+    pass

@@ -57,6 +57,9 @@ def test_spark_submit_pyfiles_roundtrip(spark, tmp_path):
             "--conf", "spark.ui.enabled=false",
             os.path.join(REPO, "scripts", "run_rollup_job.py"),
             inp, out,
+            "--compact",
+            "--query",
+            str(1735689600 + 86400), str(1735689600 + 4 * 86400), "7200",
         ],
         capture_output=True,
         text=True,
@@ -65,17 +68,34 @@ def test_spark_submit_pyfiles_roundtrip(spark, tmp_path):
         timeout=600,
     )
     assert res.returncode == 0, res.stderr[-3000:]
-    summary = json.loads(
-        [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
-    )
+    lines = [
+        json.loads(l)
+        for l in res.stdout.strip().splitlines()
+        if l.startswith("{")
+    ]
+    summary = lines[0]
     assert summary["days_processed"] >= 1, summary
+    # --compact and --query emitted their JSON lines
+    compact = next(l for l in lines if "compact" in l)
+    assert compact["compact"]["1m"]["partitions"] >= 0
+    qr = next(l for l in lines if "query_range" in l)
+    assert len(qr["query_range"]) > 0 and "bucket_start" in qr["query_range"][0]
     assert summary["tokens_processed"] > 0, summary
     # tier tables + lineage landed on disk
     assert os.path.isdir(os.path.join(out, "agg_1m"))
     assert os.path.isdir(os.path.join(out, "lineage"))
 
     # the submitted job's output equals an in-process run of the same job
-    got = spark.read.parquet(os.path.join(out, "agg_1m", "data")).count()
+    # (read via the snapshot manifest — after --compact the data/ dir
+    # holds both the original append and the rewrite; only the manifest
+    # defines the live set)
+    from getml_community_spark.checkpoint import SnapshotTable
+
+    got = (
+        SnapshotTable(os.path.join(out, "agg_1m"), partition_by=["day"])
+        .read(spark)
+        .count()
+    )
     from getml_community_spark.operators.rollup import rollup_from_raw
 
     want = rollup_from_raw(spark.read.parquet(inp), "1m").count()
