@@ -125,6 +125,38 @@ def stream_hist(
     )
 
 
+def stream_distinct(
+    stream: DataFrame,
+    tier: str = "1m",
+    distinct_col: str = "doc_id",
+    watermark: str = "2 minutes",
+    source_col: str = "source",
+    ts_col: str = "event_time",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Streaming lower tier for the mergeable distinct-count cascade
+    (operators/distinct.py): same (source, bucket_start, sketch, cnt)
+    schema as ``hll_rollup_from_raw``, so batch ``hll_cascade`` +
+    ``hll_estimates`` run unchanged on the stream's sink table. A
+    native watermark-evicted streaming aggregation — the HLL buffer IS
+    the aggregation state, bounded (≤ ~2^lg_k bytes per live (source,
+    window) group) no matter how many distinct values stream through;
+    sketch merges are order-independent, so estimates are identical to
+    a batch pass over the same rows (pytest-asserted)."""
+    if tier not in TIER_SECONDS:
+        raise ValueError(f"unknown tier {tier!r}")
+    w = F.window(F.col(ts_col), _TIER_INTERVAL[tier])
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(source_col).alias("source"), w.alias("w"))
+        .agg(
+            F.hll_sketch_agg(F.col(distinct_col), F.lit(lg_k)).alias("sketch"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select("source", F.col("w.start").alias("bucket_start"), "sketch", "cnt")
+    )
+
+
 def stream_sessions(
     stream: DataFrame,
     gap_seconds: int,

@@ -549,3 +549,51 @@ def test_stream_counter_increase_matches_batch(spark, tmp_path):
     )
     assert got.equals(want), (got, want)
     assert int(got["n_resets"].sum()) > 0  # scenario exercised resets
+
+
+def test_stream_distinct_feeds_batch_hll_cascade(spark, tmp_path):
+    """Streaming HLL distinct tier == batch tier (availableNow parity on
+    estimates — sketch merges are order-independent), and the batch
+    union cascade runs unchanged on the streamed sink."""
+    from getml_community_spark.datagen import write_corpus_parquet
+    from getml_community_spark.operators.distinct import (
+        hll_cascade,
+        hll_estimates,
+        hll_rollup_from_raw,
+    )
+    from getml_community_spark.streaming.stream_rollup import (
+        stream_corpus_reader,
+        stream_distinct,
+    )
+
+    path = str(tmp_path / "corpus")
+    write_corpus_parquet(spark, 2000, path, with_tokens=False)
+
+    stream = stream_corpus_reader(spark, path)
+    dist = stream_distinct(stream, "1m", distinct_col="doc_id", watermark="10 minutes")
+    q = (
+        dist.writeStream.format("memory")
+        .queryName("dist_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.sql("SELECT * FROM dist_stream")
+    batch = spark.read.parquet(path)
+    want = hll_rollup_from_raw(batch, "1m", distinct_col="doc_id")
+
+    from .conftest import assert_frames_equal_unordered
+
+    assert_frames_equal_unordered(
+        hll_estimates(got).toPandas(),
+        hll_estimates(want).toPandas(),
+        ["source", "bucket_start"],
+    )
+    # drop-in lower tier for the batch cascade
+    assert_frames_equal_unordered(
+        hll_estimates(hll_cascade(got, "1h")).toPandas(),
+        hll_estimates(hll_cascade(want, "1h")).toPandas(),
+        ["source", "bucket_start"],
+    )
