@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .rollup import TIER_SECONDS, _bucket_epoch
 
-__all__ = ["hll_rollup_from_raw", "hll_cascade", "hll_estimates"]
+__all__ = ["hll_rollup_from_raw", "hll_cascade", "hll_to_step", "hll_estimates"]
 
 DEFAULT_LG_K = 12
 
@@ -65,7 +65,14 @@ def hll_cascade(lower: DataFrame, to_tier: str) -> DataFrame:
     analogue of ``rollup_cascade``. Lossless w.r.t. the sketch: the
     union of partial sketches estimates identically to a single-pass
     sketch over the same rows."""
-    sec = TIER_SECONDS[to_tier]
+    return hll_to_step(lower, TIER_SECONDS[to_tier])
+
+
+def hll_to_step(lower: DataFrame, step_seconds: int) -> DataFrame:
+    """Union sketches into arbitrary epoch-aligned step buckets (the
+    range-query router's distinct path); valid whenever the source
+    tier's width divides ``step_seconds``."""
+    sec = int(step_seconds)
     bucket = _bucket_epoch("bucket_start", sec)
     return (
         lower.groupBy("source", bucket.alias("__b"))

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .rollup import TIER_SECONDS, _bucket_epoch
 
-__all__ = ["hist_rollup_from_raw", "hist_cascade", "hist_quantiles"]
+__all__ = ["hist_rollup_from_raw", "hist_cascade", "hist_to_step", "hist_quantiles"]
 
 
 def _bucket_ts(epoch_col):
@@ -99,7 +99,15 @@ def hist_cascade(hist: DataFrame, to_tier: str) -> DataFrame:
     from raw (pytest-asserted bucket-exact)."""
     if to_tier not in TIER_SECONDS:
         raise ValueError(f"unknown tier {to_tier!r}")
-    sec = TIER_SECONDS[to_tier]
+    return hist_to_step(hist, TIER_SECONDS[to_tier])
+
+
+def hist_to_step(hist: DataFrame, step_seconds: int) -> DataFrame:
+    """Re-bucket a histogram tier to an arbitrary epoch-aligned step
+    (the range-query router's quantile path) — valid whenever the
+    source tier's width divides ``step_seconds``; the count merge stays
+    exact like the tier cascade."""
+    sec = int(step_seconds)
     b = _bucket_epoch("bucket_start", sec)
     return (
         hist.groupBy(F.col("source"), b.alias("__be"), F.col("bin"))

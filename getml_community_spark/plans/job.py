@@ -538,6 +538,45 @@ class RollupJob:
             self.segments.read(self.spark), t_from, t_to, v_from, v_to
         )
 
+    def _route(
+        self,
+        tables: dict,
+        t_from: int,
+        t_to: int,
+        sec: int,
+        allow_empty: bool = False,
+    ):
+        """Shared range-router core: validate alignment, pick the
+        coarsest maintained tier whose width divides the step, read it
+        with MANIFEST-level day pruning, filter to the exact bucket
+        range. Returns (tier, rows-or-None, (d_from, d_to))."""
+        import datetime as dt
+
+        from ..operators.rollup import choose_tier
+
+        if t_from % sec or t_to % sec:
+            raise ValueError("t_from/t_to must be multiples of step_seconds")
+        if t_to <= t_from:
+            raise ValueError("empty range")
+        tier = choose_tier(sec, [t for t in self.spec.tiers if t in tables])
+        d_from = dt.datetime.fromtimestamp(t_from, dt.timezone.utc).date()
+        d_to = dt.datetime.fromtimestamp(t_to - 1, dt.timezone.utc).date()
+
+        def _in_range(p: dict) -> bool:
+            d = p.get("day")
+            return bool(d) and d_from <= dt.date.fromisoformat(d) <= d_to
+
+        try:
+            rows = tables[tier].read(self.spark, partition_filter=_in_range)
+            rows = rows.drop("day")
+            epoch = F.col("bucket_start").cast("timestamp").cast("long")
+            rows = rows.where((epoch >= t_from) & (epoch < t_to))
+        except FileNotFoundError:
+            if not allow_empty:
+                raise
+            rows = None
+        return tier, rows, (d_from, d_to)
+
     def query_range(
         self,
         t_from: int,
@@ -569,34 +608,12 @@ class RollupJob:
         absent from the result — query a coarser step (served by a
         longer-retained tier) for old history.
         """
-        import datetime as dt
-
-        from ..operators.rollup import choose_tier, rollup_to_step
+        from ..operators.rollup import rollup_to_step
 
         sec = int(step_seconds)
-        if t_from % sec or t_to % sec:
-            raise ValueError("t_from/t_to must be multiples of step_seconds")
-        if t_to <= t_from:
-            raise ValueError("empty range")
-        tier = choose_tier(sec, self.spec.tiers)
-
-        d_from = dt.datetime.fromtimestamp(t_from, dt.timezone.utc).date()
-        d_to = dt.datetime.fromtimestamp(t_to - 1, dt.timezone.utc).date()
-
-        def _in_range(p: dict) -> bool:
-            d = p.get("day")
-            return bool(d) and d_from <= dt.date.fromisoformat(d) <= d_to
-
-        try:
-            rows = self.tables[tier].read(self.spark, partition_filter=_in_range)
-            rows = rows.drop("day")
-            epoch = F.col("bucket_start").cast("timestamp").cast("long")
-            rows = rows.where((epoch >= t_from) & (epoch < t_to))
-        except FileNotFoundError:
-            # nothing committed yet — realtime can still serve from raw
-            if not realtime:
-                raise
-            rows = None
+        tier, rows, (d_from, d_to) = self._route(
+            self.tables, t_from, t_to, sec, allow_empty=realtime
+        )
 
         if realtime:
             from ..operators.rollup import rollup_from_raw
@@ -623,6 +640,48 @@ class RollupJob:
         if sec != TIER_SECONDS[tier]:
             rows = rollup_to_step(rows, sec)
         return rows
+
+    def query_range_quantiles(
+        self,
+        t_from: int,
+        t_to: int,
+        step_seconds: int,
+        qs: tuple = (0.5, 0.95, 0.99),
+    ) -> DataFrame:
+        """Range-routed percentiles: serve (source, step-bucket)
+        quantiles for ``[t_from, t_to)`` from the coarsest maintained
+        HISTOGRAM tier whose width divides the step — same manifest
+        pruning as ``query_range``, exact count-merge re-bucketing
+        (``hist_to_step``), then the type-1 quantile extraction.
+        Requires ``RollupSpec.hist_bin_width``."""
+        if not self.hist_tables:
+            raise ValueError("no histogram tiers (set RollupSpec.hist_bin_width)")
+        from ..operators.histquantile import hist_quantiles, hist_to_step
+
+        sec = int(step_seconds)
+        tier, rows, _ = self._route(self.hist_tables, t_from, t_to, sec)
+        if sec != TIER_SECONDS[tier]:
+            rows = hist_to_step(rows, sec)
+        return hist_quantiles(rows, qs=qs, bin_width=self.spec.hist_bin_width)
+
+    def query_range_distinct(
+        self, t_from: int, t_to: int, step_seconds: int
+    ) -> DataFrame:
+        """Range-routed distinct counts: serve (source, step-bucket)
+        HLL estimates for ``[t_from, t_to)`` from the coarsest
+        maintained DISTINCT tier whose width divides the step — sketch
+        unions through ``hll_to_step`` are lossless, so the estimate
+        equals a one-pass sketch over the same raw rows. Requires
+        ``RollupSpec.distinct_col``."""
+        if not self.dist_tables:
+            raise ValueError("no distinct tiers (set RollupSpec.distinct_col)")
+        from ..operators.distinct import hll_estimates, hll_to_step
+
+        sec = int(step_seconds)
+        tier, rows, _ = self._route(self.dist_tables, t_from, t_to, sec)
+        if sec != TIER_SECONDS[tier]:
+            rows = hll_to_step(rows, sec)
+        return hll_estimates(rows)
 
     def read_hist_quantiles(self, tier: str, qs: tuple = (0.5, 0.95, 0.99)) -> DataFrame:
         """Quantiles from the maintained histogram tier (requires

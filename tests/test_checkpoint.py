@@ -527,3 +527,50 @@ def test_late_reroll_does_not_duplicate_hist_or_dist(spark, corpus_path, tmp_pat
     ).toPandas()
     got = job.read_distinct("1h").toPandas()
     assert_frames_equal_unordered(got, want, ["source", "bucket_start"])
+
+
+def test_query_range_quantiles_and_distinct(spark, corpus_path, tmp_path):
+    """The routed quantile and distinct range queries match from-scratch
+    computations over the raw rows in range."""
+    from pyspark.sql import functions as F
+
+    from getml_community_spark.operators.distinct import (
+        hll_estimates,
+        hll_rollup_from_raw,
+    )
+    from getml_community_spark.operators.histquantile import (
+        hist_quantiles,
+        hist_rollup_from_raw,
+        hist_to_step,
+    )
+
+    spec = RollupSpec(hist_bin_width=16.0, distinct_col="doc_id")
+    job = RollupJob(spark, spec, corpus_path, str(tmp_path / "qrx"))
+    job.run()
+
+    t0 = EPOCH_2025 + 2 * 86400
+    t1 = EPOCH_2025 + 5 * 86400
+    raw = spark.read.parquet(corpus_path)
+    ep = F.col("event_time").cast("timestamp").cast("long")
+    sel = raw.where((ep >= t0) & (ep < t1))
+
+    got_q = job.query_range_quantiles(t0, t1, 7200, qs=(0.5, 0.99)).toPandas()
+    want_q = hist_quantiles(
+        hist_to_step(hist_rollup_from_raw(sel, "1m", bin_width=16.0), 7200),
+        qs=(0.5, 0.99),
+        bin_width=16.0,
+    ).toPandas()
+    assert_frames_equal_unordered(got_q, want_q, ["source", "bucket_start"])
+    assert len(got_q) > 0
+
+    got_d = job.query_range_distinct(t0, t1, 86400).toPandas()
+    want_d = hll_estimates(hll_rollup_from_raw(sel, "1d")).toPandas()
+    assert_frames_equal_unordered(got_d, want_d, ["source", "bucket_start"])
+    assert len(got_d) > 0
+
+    # unconfigured families raise a clear error
+    bare = RollupJob(spark, RollupSpec(), corpus_path, str(tmp_path / "bare"))
+    with pytest.raises(ValueError):
+        bare.query_range_quantiles(t0, t1, 7200)
+    with pytest.raises(ValueError):
+        bare.query_range_distinct(t0, t1, 7200)
