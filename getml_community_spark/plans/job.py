@@ -102,18 +102,25 @@ class RollupJob:
                     h.update(f"{p}:{os.path.getsize(p)}".encode())
         return h.hexdigest()[:16]
 
-    def _day_fingerprints(self, inp: DataFrame) -> dict:
-        """Per-day input fingerprint: (row count, sum of row hashes) over
-        the job's columns — order-insensitive, one column-pruned agg."""
+    def _day_stats(self, inp: DataFrame) -> dict:
+        """Per-day (rows, hash-sum, token-sum) in ONE column-pruned
+        aggregation scan. The hash-sum is the order-insensitive input
+        fingerprint (late-data detection); rows/tokens feed lineage. At
+        100 TB this single scan replaces three (distinct days,
+        fingerprints, in-stats) on the snapshot-changed path."""
         h = F.xxhash64(
             F.col(self.spec.ts_col).cast("string"),
             F.col(self.spec.value_col),
             F.col(self.spec.source_col),
         )
         return {
-            str(r["event_date"]): [int(r["rows"]), int(r["hs"])]
+            str(r["event_date"]): (int(r["rows"]), int(r["hs"]), int(r["toks"]))
             for r in inp.groupBy("event_date")
-            .agg(F.count(F.lit(1)).alias("rows"), F.sum(h).alias("hs"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(h).alias("hs"),
+                F.coalesce(F.sum(self.spec.value_col), F.lit(0)).alias("toks"),
+            )
             .collect()
         }
 
@@ -201,22 +208,28 @@ class RollupJob:
         in_snap = self.input_snapshot_id()
         spec_hash = spec.spec_hash()
 
-        all_days = [
-            str(r[0]) for r in inp.select("event_date").distinct().orderBy("event_date").collect()
-        ]
         done = self._reconcile_done()
 
         # ---- late-data detection (round-1 ADVICE, medium) ----
         # The skip decision is keyed on (spec_hash, per-day input
         # fingerprint), not just output-partition presence: when the
-        # global input snapshot changed, re-fingerprint every day (one
-        # column-pruned agg) and re-roll committed days whose input rows
-        # changed. Unchanged snapshot = fast path, no extra scan.
+        # global input snapshot changed, ONE _day_stats scan yields the
+        # day list, the fingerprints AND the lineage row/token counts;
+        # committed days whose fingerprint changed are re-rolled.
+        # Unchanged snapshot = fast path: fingerprints are reused and
+        # only the (cheap, single-column) day listing is scanned.
         last = self.state.last_input(spec_hash)
+        day_stats: dict | None = None
         if last is not None and last.get("snapshot") == in_snap:
             fps = last["fps"]
+            all_days = [
+                str(r[0])
+                for r in inp.select("event_date").distinct().orderBy("event_date").collect()
+            ]
         else:
-            fps = self._day_fingerprints(inp)
+            day_stats = self._day_stats(inp)
+            all_days = sorted(day_stats)
+            fps = {d: [s[0], s[1]] for d, s in day_stats.items()}
             if last is not None:
                 changed = {
                     d
@@ -256,13 +269,22 @@ class RollupJob:
             return summary
 
         sel = inp.where(F.col("event_date").isin(pending))
-        # rows_in + token volume per day: same scan, cheap agg
-        in_stats = {
-            str(r["event_date"]): (r["rows"], r["toks"])
-            for r in sel.groupBy("event_date")
-            .agg(F.count(F.lit(1)).alias("rows"), F.sum(spec.value_col).alias("toks"))
-            .collect()
-        }
+        # rows_in + token volume per pending day — already computed by
+        # the _day_stats scan on the snapshot-changed path; otherwise
+        # one pruned agg over the pending days only
+        if day_stats is not None:
+            in_stats = {
+                d: (day_stats[d][0], day_stats[d][2])
+                for d in pending
+                if d in day_stats
+            }
+        else:
+            in_stats = {
+                str(r["event_date"]): (r["rows"], r["toks"])
+                for r in sel.groupBy("event_date")
+                .agg(F.count(F.lit(1)).alias("rows"), F.sum(spec.value_col).alias("toks"))
+                .collect()
+            }
         summary["tokens_processed"] = int(sum(t for _, t in in_stats.values()))
 
         # ---- tier 0 from raw (one Spark job for ALL pending days) ----
