@@ -2027,7 +2027,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_trend_1h": q_ewma_trend_1h,
         "two_pass_1h": q_two_pass_1h,
         "lag_rolling_1h": q_lag_rolling_1h,
-        "sliding_window": q_sliding_window,
         "gorilla_roundtrip_1m": q_gorilla_roundtrip_1m,
         "asof_orders_events": q_asof_orders_events,
         "asof_upper_ts": q_asof_upper_ts,
@@ -2035,7 +2034,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastprop_features": q_fastprop_features,
         "exact_dedup": q_exact_dedup,
         "multimodal_features": q_multimodal_features,
-        "bmp_decode": q_bmp_decode,
         "png_decode": q_png_decode,
         "jpeg_decode": q_jpeg_decode,
         "lttb_6h": q_lttb_6h,
@@ -2051,6 +2049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "repetition_stats": q_repetition_stats,
         # -- 4: tail — multi-round-stable basics (parked this round) --
+        "sliding_window": q_sliding_window,
+        "bmp_decode": q_bmp_decode,
         "wav_features": q_wav_features,
         "tfidf_topk": q_tfidf_topk,
         "mode_1h": q_mode_1h,

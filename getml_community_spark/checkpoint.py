@@ -95,6 +95,28 @@ class SnapshotTable:
         return sid
 
     # ---- writes ------------------------------------------------------ #
+    def _writer_lock(self):
+        """Exclusive lock serializing manifest read-modify-write
+        sections (append / delete_partitions / compact_partitions):
+        without it, two concurrent writers both read the same parent
+        entry list and the second commit silently drops the first's
+        entries (round-5 review). flock covers every process on ONE
+        host — the sandbox's reality; on a real cluster this layer is
+        Iceberg, whose catalog provides the atomic compare-and-swap."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def lock():
+            with open(os.path.join(self.root, ".lock"), "w") as f:
+                fcntl.flock(f, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(f, fcntl.LOCK_UN)
+
+        return lock()
+
     def append(self, df: DataFrame) -> str:
         """Write df as a new immutable append; commit a snapshot whose
         entries = parent entries + the new partition dirs."""
@@ -123,9 +145,10 @@ class SnapshotTable:
                 )
         else:
             new_entries.append({"path": path, "partition": {}})
-        cur = self.current()
-        entries = (cur.entries if cur else []) + new_entries
-        return self._commit(entries)
+        with self._writer_lock():
+            cur = self.current()
+            entries = (cur.entries if cur else []) + new_entries
+            return self._commit(entries)
 
     def _partition_dirs(self, base: str) -> list[str]:
         """Leaf partition directories under an append dir."""
@@ -165,9 +188,14 @@ class SnapshotTable:
         """Metadata-only partition expiry (Iceberg ``DELETE WHERE`` on
         partition boundaries): commit a manifest without the matching
         entries. ``predicate`` takes the partition dict → bool."""
-        cur = self.current()
-        entries = [e for e in (cur.entries if cur else []) if not predicate(e["partition"])]
-        return self._commit(entries)
+        with self._writer_lock():
+            cur = self.current()
+            entries = [
+                e
+                for e in (cur.entries if cur else [])
+                if not predicate(e["partition"])
+            ]
+            return self._commit(entries)
 
     # ---- maintenance --------------------------------------------------- #
     def compact_partitions(
@@ -251,15 +279,39 @@ class SnapshotTable:
             df.coalesce(1).write.mode("error").parquet(path)
             new_entries = [{"path": path, "partition": {}}]
 
-        old = {id(e) for es in selected.values() for e in es}
-        entries = [e for e in cur.entries if id(e) not in old] + new_entries
-        sid = self._commit(entries)
+        # Commit under the writer lock, re-reading the CURRENT manifest:
+        # the expensive rewrite above ran lock-free, so appends/deletes
+        # may have landed since `cur`. Per partition: swap in the
+        # rewrite only if every old path is still live (else the
+        # partition changed under us — keep the live state, the orphaned
+        # rewrite dir is reclaimed by expire_snapshots).
+        new_by_part = {
+            tuple(sorted(e["partition"].items())): e for e in new_entries
+        }
+        with self._writer_lock():
+            fresh = self.current()
+            fresh_entries = list(fresh.entries if fresh else [])
+            live_paths = {e["path"] for e in fresh_entries}
+            committed, kept_new = [], []
+            for key, es in selected.items():
+                if all(e["path"] in live_paths for e in es) and key in new_by_part:
+                    committed.append(key)
+                    kept_new.append(new_by_part[key])
+            drop = {
+                e["path"] for key in committed for e in selected[key]
+            }
+            entries = [
+                e for e in fresh_entries if e["path"] not in drop
+            ] + kept_new
+            sid = self._commit(entries)
         report.update(
-            partitions=len(selected),
+            partitions=len(committed),
             files_before=sum(
-                _nfiles(e["path"]) for es in selected.values() for e in es
+                _nfiles(e["path"])
+                for key in committed
+                for e in selected[key]
             ),
-            files_after=sum(_nfiles(e["path"]) for e in new_entries),
+            files_after=sum(_nfiles(e["path"]) for e in kept_new),
             snapshot=sid,
         )
         return report
@@ -346,7 +398,14 @@ class SnapshotTable:
                     col = col.cast(types[k])
                 d = d.withColumn(k, col)
             dfs.append(d)
-        return reduce(lambda a, b: a.unionByName(b), dfs)
+        # allowMissingColumns: additive schema evolution (e.g. the
+        # Gorilla chunk-index columns added to an existing segments
+        # store) — entries written before the new columns read back with
+        # NULLs, like Iceberg schema evolution; consumers must treat
+        # NULL metadata as "unknown" (query_segments keeps such rows)
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+        )
 
     def partitions(self, snapshot_id: str | None = None) -> list[dict]:
         snap = self._load(snapshot_id) if snapshot_id else self.current()

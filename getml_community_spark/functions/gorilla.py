@@ -935,15 +935,22 @@ def query_segments(
     """
     from pyspark.sql import functions as F
 
+    # NULL chunk-index metadata (segments written before with_stats, read
+    # back through schema evolution) means "unknown extent" — such
+    # segments must be DECODED, not pruned, so each bound is
+    # coalesce(cmp, True)
+    def _keep(cmp):
+        return F.coalesce(cmp, F.lit(True))
+
     pred = F.lit(True)
     if t_from is not None:
-        pred = pred & (F.col("t_max") >= F.lit(int(t_from)))
+        pred = pred & _keep(F.col("t_max") >= F.lit(int(t_from)))
     if t_to is not None:
-        pred = pred & (F.col("t_min") <= F.lit(int(t_to)))
+        pred = pred & _keep(F.col("t_min") <= F.lit(int(t_to)))
     if v_from is not None:
-        pred = pred & (F.col("v_max") >= F.lit(float(v_from)))
+        pred = pred & _keep(F.col("v_max") >= F.lit(float(v_from)))
     if v_to is not None:
-        pred = pred & (F.col("v_min") <= F.lit(float(v_to)))
+        pred = pred & _keep(F.col("v_min") <= F.lit(float(v_to)))
     rows = decompress_segments(segments.where(pred), chunk_segments)
     if t_from is not None:
         rows = rows.where(F.col("ts") >= F.lit(int(t_from)))

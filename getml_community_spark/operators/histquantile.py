@@ -20,6 +20,14 @@ computes byte-identical results — no interpolation, no float
 accumulation. The only float op is ``value / bin_width``, identical
 IEEE division in Spark and DuckDB.
 
+Why not Spark 4.1's KLL quantile sketches (kll_sketch_agg_* /
+kll_sketch_merge_*)? They'd be tuning-free, but DataSketches KLL
+compaction is RANDOMIZED — measured here: merging the same partial
+sketches twice returns different quantiles, and merged != direct-built
+— which breaks this engine's bit-reproducibility discipline (driver
+gate, golden tests, cross-engine oracles). Fixed-bin histograms trade
+a bin_width knob for exact, deterministic merges.
+
 Representation is a TALL frame — rows of (source, bucket_start, bin,
 cnt) — not a map/array column: cascading is then a plain hash
 aggregation (whole-stage codegen, map-side partial aggregation, one

@@ -128,6 +128,18 @@ class RollupJob:
         table = self.tables[tier]
         return {p.get("day") for p in table.partitions() if p.get("day")}
 
+    def _all_tables(self) -> dict:
+        """Every table family this spec maintains, keyed by display name
+        — THE single source of truth for reconcile/delete/retention/
+        compaction loops (a family forgotten in one of those silently
+        corrupts re-rolls)."""
+        return {
+            **dict(self.tables),
+            **{f"hist_{t}": tbl for t, tbl in self.hist_tables.items()},
+            **{f"dist_{t}": tbl for t, tbl in self.dist_tables.items()},
+            "segments": self.segments,
+        }
+
     def _tier_required(self, tier: str, day: str, frontier: str) -> bool:
         """Is ``day`` still inside ``tier``'s retention window (measured
         from the newest committed day, like apply_retention)?"""
@@ -139,7 +151,7 @@ class RollupJob:
         cutoff = dt.date.fromisoformat(frontier) - dt.timedelta(seconds=keep_s)
         return dt.date.fromisoformat(day) >= cutoff
 
-    def _reconcile_done(self) -> set[str]:
+    def _reconcile_done(self, input_days: set[str] | None = None) -> set[str]:
         """A day is DONE iff every tier THAT IS STILL REQUIRED TO HOLD IT
         (i.e. inside that tier's retention window) has it, and the
         segments table (keep-forever) has it. A crash between tier
@@ -151,7 +163,17 @@ class RollupJob:
         Retention-awareness matters (round-1 ADVICE, high): a day whose
         fine-tier partitions were expired BY POLICY is complete, not
         crash-partial — treating it as partial deleted retained
-        coarse-tier history and reprocessed expired days forever."""
+        coarse-tier history and reprocessed expired days forever.
+
+        Repair is restricted to ``input_days`` (round-5 review): a day
+        the raw input no longer holds CANNOT be recomputed, so deleting
+        its partitions would permanently destroy history instead of
+        repairing it — e.g. enabling hist/dist tiers on a long-lived
+        store makes every pre-existing day "partial" w.r.t. the new
+        (empty) family; days still in the input re-roll with the new
+        family included (a deliberate, complete backfill), days the
+        input has rotated out are preserved as-is (the new family just
+        never covers them)."""
         tier_days = {t: self._done_days(t) for t in self.spec.tiers}
         hist_days = {
             t: {p.get("day") for p in tbl.partitions() if p.get("day")}
@@ -188,17 +210,73 @@ class RollupJob:
             )
         }
         partial = present - complete
+        if input_days is not None:
+            partial &= input_days
         if partial:
-            for table in [
-                *self.tables.values(),
-                *self.hist_tables.values(),
-                *self.dist_tables.values(),
-                self.segments,
-            ]:
+            for table in self._all_tables().values():
                 table.delete_partitions(lambda p: p.get("day") in partial)
         return complete
 
     # ------------------------------------------------------------ #
+    def _maintain_family(
+        self,
+        prefix: str,
+        tables: dict,
+        base_df: DataFrame,
+        cascade_fn,
+        pending: list,
+        in_stats: dict,
+        in_snap: str,
+        lineage_rows: list,
+    ) -> None:
+        """Cascade one auxiliary tier family (hist/dist) through every
+        tier: cache → per-day row counts → append → lineage → mark,
+        releasing each tier's cache as soon as the next is materialized
+        (a long-lived driver otherwise accumulates block-manager
+        storage across run() calls — round-5 review)."""
+        spec_hash = self.spec.spec_hash()
+        base_tier = self.spec.tiers[0]
+        cur = base_df.withColumn("day", F.to_date("bucket_start"))
+        prev = None
+        for tier in self.spec.tiers:
+            if tier != base_tier:
+                cur = cascade_fn(cur.drop("day"), tier).withColumn(
+                    "day", F.to_date("bucket_start")
+                ).where(F.col("day").isin(pending))
+            cur = cur.cache()
+            out = {
+                str(r["day"]): r["rows"]
+                for r in cur.groupBy("day")
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .collect()
+            }
+            snap = tables[tier].append(cur)
+            lineage_rows += [
+                {
+                    "job_id": self.job_id,
+                    "spec_hash": spec_hash,
+                    "tier": f"{prefix}_{tier}",
+                    "partition_id": d,
+                    "snapshot_id": snap,
+                    "rows_in": in_stats.get(d, (0, 0))[0]
+                    if tier == base_tier
+                    else 0,
+                    "rows_out": out.get(d, 0),
+                    "bytes_compressed": 0,
+                    "wall_seconds": 0.0,
+                    "committed_at": time.time(),
+                }
+                for d in pending
+            ]
+            self.state.mark(
+                spec_hash, in_snap, [(f"{prefix}_{tier}", d) for d in pending]
+            )
+            if prev is not None:
+                prev.unpersist()
+            prev = cur
+        if prev is not None:
+            prev.unpersist()
+
     def run(self, max_partitions: int | None = None) -> dict:
         """Process up to ``max_partitions`` pending input days (None =
         all); returns a summary. Call again to resume/finish."""
@@ -207,8 +285,6 @@ class RollupJob:
         inp = self._input()
         in_snap = self.input_snapshot_id()
         spec_hash = spec.spec_hash()
-
-        done = self._reconcile_done()
 
         # ---- late-data detection (round-1 ADVICE, medium) ----
         # The skip decision is keyed on (spec_hash, per-day input
@@ -230,26 +306,23 @@ class RollupJob:
             day_stats = self._day_stats(inp)
             all_days = sorted(day_stats)
             fps = {d: [s[0], s[1]] for d, s in day_stats.items()}
-            if last is not None:
-                changed = {
-                    d
-                    for d in done
-                    if fps.get(d) != last.get("fps", {}).get(d)
-                }
-                if changed:
-                    # every table family, not just core tiers: a stale
-                    # hist/dist partition surviving the re-roll would be
-                    # double-appended (duplicate rows on read)
-                    for table in [
-                        *self.tables.values(),
-                        *self.hist_tables.values(),
-                        *self.dist_tables.values(),
-                        self.segments,
-                    ]:
-                        table.delete_partitions(
-                            lambda p: p.get("day") in changed
-                        )
-                    done -= changed
+        done = self._reconcile_done(input_days=set(all_days))
+        if day_stats is not None and last is not None:
+            # only INPUT-PRESENT days can be "changed" (round-5 review):
+            # a day the input rotated out is retained history, not late
+            # data — deleting it would destroy it with nothing to
+            # re-roll from. Every table family is deleted together: a
+            # stale hist/dist partition surviving the re-roll would be
+            # double-appended (duplicate rows on read).
+            changed = {
+                d
+                for d in done
+                if d in fps and fps[d] != last.get("fps", {}).get(d)
+            }
+            if changed:
+                for table in self._all_tables().values():
+                    table.delete_partitions(lambda p: p.get("day") in changed)
+                done -= changed
 
         pending = [d for d in all_days if d not in done]
         if max_partitions is not None:
@@ -343,99 +416,53 @@ class RollupJob:
                 for d in pending
             ]
             self.state.mark(spec_hash, in_snap, [(tier, d) for d in pending])
+            if lower is not agg:
+                lower.unpersist()
             lower = rolled
+        if lower is not agg:
+            lower.unpersist()
 
-        # ---- histogram tiers (mergeable quantiles), when configured ----
+        # ---- auxiliary tier families (hist / dist), when configured ----
         if self.hist_tables:
             from ..operators.histquantile import hist_cascade, hist_rollup_from_raw
 
-            h = hist_rollup_from_raw(
-                sel,
-                base_tier,
-                value_col=spec.value_col,
-                bin_width=spec.hist_bin_width,
-                source_col=spec.source_col,
-                ts_col=spec.ts_col,
-            ).withColumn("day", F.to_date("bucket_start"))
-            for tier in spec.tiers:
-                if tier != base_tier:
-                    h = hist_cascade(h.drop("day"), tier).withColumn(
-                        "day", F.to_date("bucket_start")
-                    ).where(F.col("day").isin(pending))
-                h = h.cache()
-                h_out = {
-                    str(r["day"]): r["rows"]
-                    for r in h.groupBy("day")
-                    .agg(F.count(F.lit(1)).alias("rows"))
-                    .collect()
-                }
-                hsnap = self.hist_tables[tier].append(h)
-                lineage_rows += [
-                    {
-                        "job_id": self.job_id,
-                        "spec_hash": spec_hash,
-                        "tier": f"hist_{tier}",
-                        "partition_id": d,
-                        "snapshot_id": hsnap,
-                        "rows_in": in_stats.get(d, (0, 0))[0]
-                        if tier == base_tier
-                        else 0,
-                        "rows_out": h_out.get(d, 0),
-                        "bytes_compressed": 0,
-                        "wall_seconds": 0.0,
-                        "committed_at": time.time(),
-                    }
-                    for d in pending
-                ]
-                self.state.mark(
-                    spec_hash, in_snap, [(f"hist_{tier}", d) for d in pending]
-                )
-
-        # ---- HLL distinct-count tiers, when configured ----
+            self._maintain_family(
+                "hist",
+                self.hist_tables,
+                hist_rollup_from_raw(
+                    sel,
+                    base_tier,
+                    value_col=spec.value_col,
+                    bin_width=spec.hist_bin_width,
+                    source_col=spec.source_col,
+                    ts_col=spec.ts_col,
+                ),
+                hist_cascade,
+                pending,
+                in_stats,
+                in_snap,
+                lineage_rows,
+            )
         if self.dist_tables:
             from ..operators.distinct import hll_cascade, hll_rollup_from_raw
 
-            dd = hll_rollup_from_raw(
-                sel,
-                base_tier,
-                distinct_col=spec.distinct_col,
-                source_col=spec.source_col,
-                ts_col=spec.ts_col,
-                lg_k=spec.hll_lg_k,
-            ).withColumn("day", F.to_date("bucket_start"))
-            for tier in spec.tiers:
-                if tier != base_tier:
-                    dd = hll_cascade(dd.drop("day"), tier).withColumn(
-                        "day", F.to_date("bucket_start")
-                    ).where(F.col("day").isin(pending))
-                dd = dd.cache()
-                d_out = {
-                    str(r["day"]): r["rows"]
-                    for r in dd.groupBy("day")
-                    .agg(F.count(F.lit(1)).alias("rows"))
-                    .collect()
-                }
-                dsnap = self.dist_tables[tier].append(dd)
-                lineage_rows += [
-                    {
-                        "job_id": self.job_id,
-                        "spec_hash": spec_hash,
-                        "tier": f"dist_{tier}",
-                        "partition_id": d,
-                        "snapshot_id": dsnap,
-                        "rows_in": in_stats.get(d, (0, 0))[0]
-                        if tier == base_tier
-                        else 0,
-                        "rows_out": d_out.get(d, 0),
-                        "bytes_compressed": 0,
-                        "wall_seconds": 0.0,
-                        "committed_at": time.time(),
-                    }
-                    for d in pending
-                ]
-                self.state.mark(
-                    spec_hash, in_snap, [(f"dist_{tier}", d) for d in pending]
-                )
+            self._maintain_family(
+                "dist",
+                self.dist_tables,
+                hll_rollup_from_raw(
+                    sel,
+                    base_tier,
+                    distinct_col=spec.distinct_col,
+                    source_col=spec.source_col,
+                    ts_col=spec.ts_col,
+                    lg_k=spec.hll_lg_k,
+                ),
+                hll_cascade,
+                pending,
+                in_stats,
+                in_snap,
+                lineage_rows,
+            )
 
         # ---- Gorilla compression of the configured tier ----
         segs = compress_rollup(
@@ -468,6 +495,7 @@ class RollupJob:
             for d in pending
         ]
         self.lineage.append(lineage_rows)
+        segs.unpersist()
         agg.unpersist()
         self.state.record_input(spec_hash, in_snap, fps)
 
@@ -513,12 +541,7 @@ class RollupJob:
         run any time: compaction commits snapshots, so a concurrent
         resume sees either the old or the new layout, both complete."""
         reports, rows = {}, []
-        for name, table in {
-            **{t: tbl for t, tbl in self.tables.items()},
-            **{f"hist_{t}": tbl for t, tbl in self.hist_tables.items()},
-            **{f"dist_{t}": tbl for t, tbl in self.dist_tables.items()},
-            "segments": self.segments,
-        }.items():
+        for name, table in self._all_tables().items():
             t0 = time.time()
             rep = table.compact_partitions(self.spark, min_files=min_files)
             reports[name] = rep

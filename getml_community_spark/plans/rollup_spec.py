@@ -34,9 +34,11 @@ class RollupSpec:
     # partitioning / lineage / retention as the core tiers
     hist_bin_width: float | None = None
     # store per-segment t/v min-max chunk-index columns with the Gorilla
-    # blobs so query_segments can prune without decoding (new stores
-    # default on; flag participates in spec_hash so resumed pre-index
-    # stores keep their schema)
+    # blobs so query_segments can prune without decoding. Default on;
+    # a store whose older segments predate the index reads back with
+    # NULL metadata (SnapshotTable additive schema evolution) and
+    # query_segments decodes-not-prunes those segments — mixed stores
+    # stay correct without a rewrite
     segment_stats: bool = True
     # when set, the job ALSO maintains mergeable HLL distinct-count
     # tiers (operators/distinct.py) of this column at every tier —

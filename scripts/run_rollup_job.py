@@ -61,12 +61,7 @@ def main() -> None:
         print(json.dumps({"compact": job.compact()}, default=str))
     if args.expire_snapshots is not None:
         reports = {}
-        for name, table in {
-            **job.tables,
-            **{f"hist_{t}": tbl for t, tbl in job.hist_tables.items()},
-            **{f"dist_{t}": tbl for t, tbl in job.dist_tables.items()},
-            "segments": job.segments,
-        }.items():
+        for name, table in job._all_tables().items():
             reports[name] = table.expire_snapshots(
                 keep_last=args.expire_snapshots, remove_orphan_data=True
             )

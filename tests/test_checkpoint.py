@@ -574,3 +574,174 @@ def test_query_range_quantiles_and_distinct(spark, corpus_path, tmp_path):
         bare.query_range_quantiles(t0, t1, 7200)
     with pytest.raises(ValueError):
         bare.query_range_distinct(t0, t1, 7200)
+
+
+# --------------------------------------------------------------------- #
+# round-5 review regressions
+# --------------------------------------------------------------------- #
+def test_enabling_new_family_backfills_without_destroying_history(
+    spark, corpus_path, tmp_path
+):
+    """Turning on hist/dist tiers for an existing store must re-roll
+    (backfill) days still present in the input — and PRESERVE days the
+    input has rotated out instead of deleting unrecoverable history."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    inp = str(tmp_path / "inp")
+    shutil.copytree(corpus_path, inp)
+    out = str(tmp_path / "fam")
+    RollupJob(spark, RollupSpec(), inp, out).run()
+
+    # rotate the oldest day OUT of the raw input (upstream retention)
+    gone = sorted(
+        d for d in __import__("os").listdir(inp) if d.startswith("event_date=")
+    )[0]
+    gone_day = gone.split("=", 1)[1]
+    shutil.rmtree(f"{inp}/{gone}")
+
+    before_1d = RollupJob(spark, RollupSpec(), inp, out).read_tier("1d")
+    n_gone = before_1d.where(F.col("day") == F.lit(gone_day)).count()
+    assert n_gone > 0
+
+    # enable BOTH new families on the existing store
+    spec = RollupSpec(hist_bin_width=16.0, distinct_col="doc_id")
+    job = RollupJob(spark, spec, inp, out)
+    s = job.run()
+    # input-present days re-rolled with the new families included
+    assert s["days_processed"] == 13, s
+    assert len({p["day"] for p in job.hist_tables["1h"].partitions()}) == 13
+    assert len({p["day"] for p in job.dist_tables["1h"].partitions()}) == 13
+    # the rotated-out day's core history survived untouched
+    after_1d = job.read_tier("1d")
+    assert after_1d.where(F.col("day") == F.lit(gone_day)).count() == n_gone
+    # stable: a second run does nothing
+    assert RollupJob(spark, spec, inp, out).run()["days_processed"] == 0
+
+
+def test_input_rotation_preserves_committed_days(spark, corpus_path, tmp_path):
+    """A day disappearing from the raw input (snapshot change, same
+    spec) is retained history — it must be neither deleted nor treated
+    as late data."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    inp = str(tmp_path / "inp")
+    shutil.copytree(corpus_path, inp)
+    out = str(tmp_path / "rot")
+    job0 = RollupJob(spark, RollupSpec(), inp, out)
+    job0.run()
+    total_1d = job0.read_tier("1d").count()
+
+    gone = sorted(d for d in os.listdir(inp) if d.startswith("event_date="))[0]
+    shutil.rmtree(f"{inp}/{gone}")
+
+    job = RollupJob(spark, RollupSpec(), inp, out)
+    s = job.run()
+    assert s["days_processed"] == 0, s
+    assert job.read_tier("1d").count() == total_1d  # nothing lost
+    gone_day = gone.split("=", 1)[1]
+    assert (
+        job.read_tier("1d").where(F.col("day") == F.lit(gone_day)).count() > 0
+    )
+
+
+def test_segments_schema_evolution_mixed_chunk_index(spark, corpus_path, tmp_path):
+    """A store whose older segments predate the chunk index keeps
+    working after the index is enabled: old entries read back with NULL
+    metadata and query_segments decodes-not-prunes them."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from getml_community_spark.functions.gorilla import decompress_segments
+
+    inp = str(tmp_path / "inp")
+    shutil.copytree(corpus_path, inp)
+    # drop the newest 7 days for the first (pre-index) epoch
+    import os
+
+    days = sorted(d for d in os.listdir(inp) if d.startswith("event_date="))
+    held_back = str(tmp_path / "held")
+    os.makedirs(held_back)
+    for d in days[7:]:
+        shutil.move(f"{inp}/{d}", f"{held_back}/{d}")
+
+    out = str(tmp_path / "mix")
+    RollupJob(spark, RollupSpec(segment_stats=False), inp, out).run()
+
+    # upstream delivers the rest; the store is now maintained WITH stats
+    for d in days[7:]:
+        shutil.move(f"{held_back}/{d}", f"{inp}/{d}")
+    job = RollupJob(spark, RollupSpec(segment_stats=True), inp, out)
+    s = job.run()
+    assert s["days_processed"] == 7, s
+
+    segs = job.segments.read(spark)
+    assert {"t_min", "t_max"} <= set(segs.columns)
+    n_null = segs.where(F.col("t_min").isNull()).count()
+    assert n_null > 0  # pre-index entries surfaced as NULL metadata
+
+    # pruned query == decode-everything-filter, across the mixed store
+    import datetime as dt
+
+    mid = dt.date.fromisoformat(sorted(p["day"] for p in job.segments.partitions())[3])
+    t0 = int(dt.datetime(mid.year, mid.month, mid.day, tzinfo=dt.timezone.utc).timestamp())
+    t1 = t0 + 86400 - 1
+    got = job.query_compressed(t_from=t0, t_to=t1).toPandas()
+    want = (
+        decompress_segments(segs)
+        .where((F.col("ts") >= t0) & (F.col("ts") <= t1))
+        .toPandas()
+    )
+    got = got.sort_values(["source", "ts"]).reset_index(drop=True)
+    want = want.sort_values(["source", "ts"]).reset_index(drop=True)
+    assert got.equals(want) and len(got) > 0
+
+
+def test_concurrent_append_and_compact_lose_nothing(spark, tmp_path):
+    """The writer lock + commit-time revalidation: appends racing a
+    compaction all survive in the final manifest."""
+    import threading
+
+    t = SnapshotTable(str(tmp_path / "race"), partition_by=["day"])
+    import pyspark.sql.functions as F
+
+    def mkdf(day, lo):
+        return (
+            spark.range(lo, lo + 50)
+            .toDF("x")
+            .withColumn("day", F.lit(day))
+            .repartition(4)
+        )
+
+    t.append(mkdf("2025-01-01", 0))
+    t.append(mkdf("2025-01-01", 100))  # fragmented: 2 entries
+
+    errs = []
+
+    def do_compact():
+        try:
+            t.compact_partitions(spark)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def do_append():
+        try:
+            t.append(mkdf("2025-01-02", 200))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=do_compact), threading.Thread(target=do_append)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    final = t.read(spark)
+    assert final.count() == 150  # 100 (compacted) + 50 (raced append)
+    days = {p["day"] for p in t.partitions()}
+    assert days == {"2025-01-01", "2025-01-02"}
