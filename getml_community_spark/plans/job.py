@@ -686,6 +686,66 @@ class RollupJob:
             rows = rollup_to_step(rows, sec)
         return rows
 
+    def query_range_archive(
+        self, t_from: int, t_to: int, step_seconds: int
+    ) -> DataFrame:
+        """Serve history that retention has EXPIRED from the tier tables
+        out of the keep-forever Gorilla archive: manifest-pruned day
+        partitions → chunk-index-pruned blob decode (``query_segments``)
+        → re-bucket the decoded ``compress_tier`` points to ``step``.
+
+        Re-bucket rule per compressed value: cnt/sum compose by SUM,
+        min/max by MIN/MAX, and rate by mass — ``sum(rate·tier_sec)/
+        step`` (gap buckets carry zero mass, so sparsity is exact).
+        The rate path round-trips through one IEEE divide/multiply, so
+        results match a from-raw rollup to ~1 ulp, not bitwise.
+        Returns (source, bucket_start, value)."""
+        import datetime as dt
+
+        from ..functions.gorilla import query_segments
+        from ..operators.rollup import TIER_SECONDS as TS
+
+        if not self.spec.segment_stats:
+            raise ValueError("spec.segment_stats is off — no chunk index stored")
+        sec = int(step_seconds)
+        if t_from % sec or t_to % sec:
+            raise ValueError("t_from/t_to must be multiples of step_seconds")
+        base_sec = TS[self.spec.compress_tier]
+        if sec % base_sec:
+            raise ValueError(
+                f"step must be a multiple of the compressed tier ({base_sec}s)"
+            )
+        d_from = dt.datetime.fromtimestamp(t_from, dt.timezone.utc).date()
+        d_to = dt.datetime.fromtimestamp(t_to - 1, dt.timezone.utc).date()
+
+        def _in_range(p: dict) -> bool:
+            d = p.get("day")
+            return bool(d) and d_from <= dt.date.fromisoformat(d) <= d_to
+
+        segs = self.segments.read(self.spark, partition_filter=_in_range)
+        pts = query_segments(segs, t_from=t_from, t_to=t_to - 1)
+        bucket = (F.floor(F.col("ts") / F.lit(sec)) * F.lit(sec)).cast("long")
+        v = self.spec.compress_value
+        if v == "rate":
+            agg = (F.sum(F.col("value") * F.lit(float(base_sec))) / F.lit(float(sec)))
+        elif v in ("cnt", "sum_n_tok"):
+            agg = F.sum("value")
+        elif v == "min_n_tok":
+            agg = F.min("value")
+        elif v == "max_n_tok":
+            agg = F.max("value")
+        else:
+            raise ValueError(f"no archive re-bucket rule for {v!r}")
+        return (
+            pts.groupBy("source", bucket.alias("__b"))
+            .agg(agg.alias("value"))
+            .select(
+                "source",
+                F.timestamp_seconds(F.col("__b")).alias("bucket_start"),
+                "value",
+            )
+        )
+
     def query_range_quantiles(
         self,
         t_from: int,

@@ -745,3 +745,41 @@ def test_concurrent_append_and_compact_lose_nothing(spark, tmp_path):
     assert final.count() == 150  # 100 (compacted) + 50 (raced append)
     days = {p["day"] for p in t.partitions()}
     assert days == {"2025-01-01", "2025-01-02"}
+
+
+def test_query_range_archive_serves_expired_history(spark, corpus_path, tmp_path):
+    """History expired from every tier by retention is still servable
+    from the compressed archive, matching a from-raw rollup to float
+    tolerance (the rate path round-trips one IEEE divide)."""
+    from pyspark.sql import functions as F
+
+    from getml_community_spark.operators.rollup import (
+        rollup_from_raw,
+        rollup_to_step,
+    )
+
+    spec = RollupSpec(
+        retention_seconds={"1m": 4 * 86400, "1h": 4 * 86400, "1d": 4 * 86400}
+    )
+    job = RollupJob(spark, spec, corpus_path, str(tmp_path / "arch"))
+    job.run()
+
+    # a range older than every retention window: expired from the tiers
+    t0 = EPOCH_2025 + 1 * 86400
+    t1 = EPOCH_2025 + 3 * 86400
+    assert job.query_range(t0, t1, 7200).count() == 0  # tiers expired
+
+    got = job.query_range_archive(t0, t1, 7200).toPandas()
+    raw = spark.read.parquet(corpus_path)
+    ep = F.col("event_time").cast("timestamp").cast("long")
+    want = (
+        rollup_to_step(
+            rollup_from_raw(raw.where((ep >= t0) & (ep < t1)), "1m"), 7200
+        )
+        .select("source", "bucket_start", F.col("rate").alias("value"))
+        .toPandas()
+    )
+    assert len(got) > 0
+    assert_frames_equal_unordered(
+        got, want, ["source", "bucket_start"], rtol=1e-12
+    )
