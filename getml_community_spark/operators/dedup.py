@@ -31,6 +31,8 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_verified",
+    "token_shingles",
+    "token_minhash_pairs",
     "minhash_lsh_dedup",
     "simhash",
     "simhash_pairs",
@@ -197,12 +199,13 @@ def lsh_bucket_occupancy(exploded: DataFrame, key_cols: list[str]) -> DataFrame:
 
 def minhash_lsh_pairs(
     df: DataFrame,
-    text_col: str,
+    text_col: str | None,
     id_col: str,
     num_hashes: int = 128,
     bands: int = 32,
     shingle_n: int = 5,
     max_bucket_size: int | None = 1000,
+    shingle_expr: Column | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH.
 
@@ -227,7 +230,15 @@ def minhash_lsh_pairs(
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target)
-    sig = minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes)
+    # shingle_expr overrides the text-derived shingle set (e.g.
+    # token_shingles over int-ID sequences) — the rest of the pipeline
+    # is payload-agnostic
+    sh = (
+        shingle_expr
+        if shingle_expr is not None
+        else shingles(F.col(text_col), shingle_n)
+    )
+    sig = minhash_signature(sh, num_hashes)
     # Materialize the signature matrix ONCE — per doc, not per band. The
     # self-join's branches do NOT share the signature subtree (no
     # exchange reuse across aliases), so without a barrier the
@@ -293,6 +304,77 @@ def minhash_lsh_pairs(
                 ).cast("double")
                 / F.lit(float(num_hashes))
             ).alias("est_jaccard"),
+        )
+    )
+
+
+def token_shingles(tokens: Column, n: int = 8) -> Column:
+    """Shingle set over a TOKEN-ID array (the corpus's native payload,
+    input_hint: tokens array<int32>): distinct windows of ``n``
+    consecutive ids rendered as compact strings for hashing — all JVM
+    array ops. Short/empty sequences yield the whole-sequence shingle,
+    mirroring :func:`shingles`."""
+    k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(tokens, i + 1, F.lit(n)), lambda t: t.cast("string")
+                ),
+            ),
+        )
+    )
+
+
+def token_minhash_pairs(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 8,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate SEQUENCE pairs over pre-tokenized documents:
+    token n-gram shingles → MinHash → banded LSH (the text pipeline with
+    :func:`token_shingles` swapped in), then candidates re-scored with
+    their EXACT shingle Jaccard via JVM ``array_intersect``/
+    ``array_union`` — no text round-trip, so dedup runs directly on the
+    training-ready token table. Columns: (id_a, id_b, est_jaccard,
+    exact_jaccard)."""
+    pairs = minhash_lsh_pairs(
+        df,
+        None,
+        id_col,
+        num_hashes,
+        bands,
+        shingle_n,
+        max_bucket_size,
+        shingle_expr=token_shingles(F.col(tokens_col), shingle_n),
+    )
+    # exact re-score joins the shingle sets back candidate-only; the
+    # barrier keeps the (interpreted) shingle pipeline to ONE pass even
+    # though both join branches consume it (no exchange reuse across
+    # self-join aliases — CLAUDE.md)
+    sh_tbl = df.select(
+        F.col(id_col).alias("id"),
+        token_shingles(F.col(tokens_col), shingle_n).alias("__sh"),
+    ).localCheckpoint(eager=True)
+    a = sh_tbl.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh_tbl.select(F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            (inter.cast("double") / union.cast("double")).alias("exact_jaccard"),
         )
     )
 

@@ -525,3 +525,52 @@ def test_line_dedup_semantics(spark):
 
     with pytest.raises(ValueError):
         line_dedup(df, key="bogus")
+
+
+def test_token_minhash_pairs_finds_planted_sequence_dups(spark):
+    """Near-dup detection directly over token-ID arrays: planted
+    perturbed copies are found, exact_jaccard matches a pandas
+    brute-force over the same shingle sets, and unrelated sequences
+    produce no pairs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from getml_community_spark.operators.dedup import token_minhash_pairs
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        base = rng.integers(0, 5000, size=200).tolist()
+        rows.append((f"d{i:03d}", base))
+        if i < 8:  # plant a near-dup: flip 5 of 200 tokens
+            pert = list(base)
+            for j in rng.choice(200, size=5, replace=False):
+                pert[int(j)] = int(rng.integers(5000, 6000))
+            rows.append((f"d{i:03d}-copy", pert))
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+
+    got = token_minhash_pairs(df, max_bucket_size=None).toPandas()
+    found = {
+        tuple(sorted(p))
+        for p in got[got["exact_jaccard"] >= 0.5][["id_a", "id_b"]].itertuples(
+            index=False
+        )
+    }
+    want_pairs = {(f"d{i:03d}", f"d{i:03d}-copy") for i in range(8)}
+    assert want_pairs <= found
+    # nothing else is that similar
+    assert found == want_pairs
+
+    # exact_jaccard agrees with a pandas brute-force on the shingle sets
+    def shingle_set(toks, n=8):
+        if len(toks) < n:
+            return {",".join(map(str, toks))}
+        return {",".join(map(str, toks[i : i + n])) for i in range(len(toks) - n + 1)}
+
+    by_id = {r[0]: shingle_set(r[1]) for r in rows}
+    for _, row in got.iterrows():
+        sa, sb = by_id[row["id_a"]], by_id[row["id_b"]]
+        exact = len(sa & sb) / len(sa | sb)
+        assert abs(row["exact_jaccard"] - exact) < 1e-12
+        assert 0.0 <= row["est_jaccard"] <= 1.0
