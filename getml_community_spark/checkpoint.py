@@ -44,6 +44,10 @@ class Snapshot:
     parent: str | None
     entries: list[dict]  # [{"path": ..., "partition": {...}}]
     committed_at: float = field(default_factory=time.time)
+    # snapshot-level metadata, carried forward commit-to-commit; used by
+    # streaming ingestion to make the manifest commit itself the
+    # exactly-once batch registry: {"stream_batches": {key: last_id}}
+    meta: dict = field(default_factory=dict)
 
 
 class SnapshotTable:
@@ -74,15 +78,24 @@ class SnapshotTable:
     def _load(self, snapshot_id: str) -> Snapshot:
         with open(os.path.join(self.root, "snapshots", f"{snapshot_id}.json")) as f:
             d = json.load(f)
-        return Snapshot(d["snapshot_id"], d.get("parent"), d["entries"], d["committed_at"])
+        return Snapshot(
+            d["snapshot_id"],
+            d.get("parent"),
+            d["entries"],
+            d["committed_at"],
+            d.get("meta", {}),
+        )
 
     def current(self) -> Snapshot | None:
         sid = self.current_snapshot_id()
         return self._load(sid) if sid else None
 
-    def _commit(self, entries: list[dict]) -> str:
+    def _commit(self, entries: list[dict], meta: dict | None = None) -> str:
         sid = uuid.uuid4().hex[:16]
-        snap = Snapshot(sid, self.current_snapshot_id(), entries)
+        if meta is None:
+            cur = self.current()
+            meta = dict(cur.meta) if cur else {}
+        snap = Snapshot(sid, self.current_snapshot_id(), entries, meta=meta)
         _atomic_write_json(
             os.path.join(self.root, "snapshots", f"{sid}.json"), snap.__dict__
         )
@@ -117,9 +130,32 @@ class SnapshotTable:
 
         return lock()
 
-    def append(self, df: DataFrame) -> str:
+    def append(
+        self,
+        df: DataFrame,
+        stream_key: str | None = None,
+        batch_id: int | None = None,
+    ) -> str:
         """Write df as a new immutable append; commit a snapshot whose
-        entries = parent entries + the new partition dirs."""
+        entries = parent entries + the new partition dirs.
+
+        ``stream_key``/``batch_id`` give EXACTLY-ONCE semantics for
+        streaming sinks: the manifest commit atomically records the
+        highest committed batch id per key, so a foreachBatch replay
+        after a crash (Structured Streaming is at-least-once into
+        arbitrary sinks) finds ``batch_id <= last`` and becomes a no-op
+        — the registry update and the data commit are the SAME atomic
+        manifest write, closing the classic write-then-record gap. A
+        replay that raced a crash between data write and commit leaves
+        only an orphaned data dir (reclaimed by expire_snapshots)."""
+        if stream_key is not None:
+            cur0 = self.current()
+            if (
+                cur0
+                and cur0.meta.get("stream_batches", {}).get(stream_key, -1)
+                >= batch_id
+            ):
+                return cur0.snapshot_id  # replayed batch, already committed
         dir_id = uuid.uuid4().hex[:16]
         path = os.path.join(self.root, "data", dir_id)
         writer = df.write.mode("error")
@@ -147,8 +183,16 @@ class SnapshotTable:
             new_entries.append({"path": path, "partition": {}})
         with self._writer_lock():
             cur = self.current()
+            meta = None
+            if stream_key is not None:
+                meta = dict(cur.meta) if cur else {}
+                sb = dict(meta.get("stream_batches", {}))
+                if sb.get(stream_key, -1) >= batch_id:
+                    return cur.snapshot_id  # lost the race to a replay
+                sb[stream_key] = int(batch_id)
+                meta["stream_batches"] = sb
             entries = (cur.entries if cur else []) + new_entries
-            return self._commit(entries)
+            return self._commit(entries, meta)
 
     def _partition_dirs(self, base: str) -> list[str]:
         """Leaf partition directories under an append dir."""

@@ -157,6 +157,42 @@ def stream_distinct(
     )
 
 
+def stream_into_snapshot(
+    tier_stream: DataFrame,
+    table,
+    checkpoint_dir: str,
+    stream_key: str = "stream",
+    add_day: bool = True,
+):
+    """Stream CLOSED tier buckets into a durable :class:`SnapshotTable`
+    — the bridge between the streaming lower tier and the snapshot
+    store the batch job maintains (readers, cascades, the range router
+    and compaction all work unchanged on the sink).
+
+    Use an APPEND-mode tier stream (watermarked ``stream_rollup`` /
+    ``stream_hist`` / ``stream_distinct``): append emits each (source,
+    bucket) exactly once when the watermark passes its window end, so
+    every micro-batch holds only newly-closed buckets. Durability is
+    exactly-once: ``SnapshotTable.append(stream_key, batch_id)`` makes
+    the manifest commit itself the batch registry, so foreachBatch
+    replays after a crash/restart are no-ops (pytest-asserted).
+
+    Returns the DataStreamWriter — caller picks the trigger and calls
+    ``.start()``.
+    """
+
+    def _write(bdf: DataFrame, batch_id: int) -> None:
+        if add_day and "day" not in bdf.columns:
+            bdf = bdf.withColumn("day", F.to_date("bucket_start"))
+        if bdf.isEmpty():
+            return
+        table.append(bdf, stream_key=stream_key, batch_id=batch_id)
+
+    return tier_stream.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint_dir
+    )
+
+
 def stream_sessions(
     stream: DataFrame,
     gap_seconds: int,

@@ -597,3 +597,99 @@ def test_stream_distinct_feeds_batch_hll_cascade(spark, tmp_path):
         hll_estimates(hll_cascade(want, "1h")).toPandas(),
         ["source", "bucket_start"],
     )
+
+
+def test_snapshot_append_exactly_once_batch_registry(spark, tmp_path):
+    """SnapshotTable.append(stream_key, batch_id): a replayed batch id
+    is a no-op (same snapshot, same rows); the next id commits."""
+    from pyspark.sql import functions as F
+
+    from getml_community_spark.checkpoint import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "sink"), partition_by=["day"])
+    df = spark.range(5).toDF("x").withColumn("day", F.lit("2025-01-01"))
+    s1 = t.append(df, stream_key="q", batch_id=0)
+    assert t.read(spark).count() == 5
+    s2 = t.append(df, stream_key="q", batch_id=0)  # crash-replay
+    assert s2 == s1 and t.read(spark).count() == 5
+    t.append(df, stream_key="q", batch_id=1)
+    assert t.read(spark).count() == 10
+    # an unrelated stream key has its own registry
+    t.append(df, stream_key="other", batch_id=0)
+    assert t.read(spark).count() == 15
+
+
+def test_stream_rollup_into_snapshot_store_restartable(spark, tmp_path):
+    """Streaming 1m tier → durable SnapshotTable: closed buckets land
+    once; a restart from the same checkpoint over NEW input appends only
+    new buckets (no duplicates); rows match the batch rollup exactly."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from getml_community_spark.checkpoint import SnapshotTable
+    from getml_community_spark.datagen import write_corpus_parquet
+    from getml_community_spark.operators.rollup import rollup_from_raw
+    from getml_community_spark.streaming.stream_rollup import (
+        stream_corpus_reader,
+        stream_into_snapshot,
+        stream_rollup,
+    )
+
+    full = str(tmp_path / "full")
+    write_corpus_parquet(spark, 2500, full, with_tokens=False)
+    src = str(tmp_path / "src")
+    held = str(tmp_path / "held")
+    shutil.copytree(full, src)
+    os.makedirs(held)
+    days = sorted(d for d in os.listdir(src) if d.startswith("event_date="))
+    for d in days[10:]:
+        shutil.move(f"{src}/{d}", f"{held}/{d}")
+
+    table = SnapshotTable(str(tmp_path / "tier1m"), partition_by=["day"])
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        agg = stream_rollup(
+            stream_corpus_reader(spark, src), "1m", watermark="0 seconds"
+        )
+        q = (
+            stream_into_snapshot(agg, table, ckpt, stream_key="tier1m")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    n_first = table.read(spark).count()
+    assert n_first > 0
+
+    # restart over MORE input from the same checkpoint
+    for d in days[10:]:
+        shutil.move(f"{held}/{d}", f"{src}/{d}")
+    spark.catalog.refreshByPath(src)
+    run_once()
+    got = table.read(spark).drop("day").toPandas()
+    assert len(got) > n_first
+
+    # no duplicate (source, bucket) across the two runs
+    assert not got.duplicated(subset=["source", "bucket_start"]).any()
+
+    # every landed bucket matches the batch rollup bit-for-bit, and all
+    # comfortably-closed buckets landed
+    batch = rollup_from_raw(spark.read.parquet(src), "1m").toPandas()
+    from .conftest import assert_frames_equal_unordered
+
+    keys = ["source", "bucket_start"]
+    merged = got.merge(batch, on=keys, suffixes=("_s", "_b"))
+    assert len(merged) == len(got)  # every streamed bucket exists in batch
+    for c in ("cnt", "sum_n_tok", "min_n_tok", "max_n_tok", "rate"):
+        assert (merged[f"{c}_s"] == merged[f"{c}_b"]).all()
+    wm = spark.read.parquet(src).agg(
+        F.max(F.col("event_time").cast("timestamp").cast("long"))
+    ).collect()[0][0]
+    closed = batch[
+        batch["bucket_start"].map(lambda t: t.timestamp() + 60) < wm - 60
+    ]
+    assert len(got) >= len(closed)
