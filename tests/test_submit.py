@@ -100,3 +100,60 @@ def test_spark_submit_pyfiles_roundtrip(spark, tmp_path):
 
     want = rollup_from_raw(spark.read.parquet(inp), "1m").count()
     assert got == want
+
+
+def test_spark_submit_stream_ingest(spark, tmp_path):
+    """The streaming entry point runs under spark-submit from the
+    zipped package and lands closed 1m buckets in the snapshot store."""
+    import shutil
+    import zipfile
+
+    zpath = str(tmp_path / "engine.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(os.path.join(REPO, "getml_community_spark")):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+    inp = str(tmp_path / "corpus")
+    from getml_community_spark.datagen import write_corpus_parquet
+
+    write_corpus_parquet(spark, 800, inp, with_tokens=False)
+    out = str(tmp_path / "store")
+
+    env = {k: v for k, v in os.environ.items() if k not in ("PYTHONPATH",)}
+    env["PYSPARK_PYTHON"] = sys.executable
+    res = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[2]",
+            "--py-files", zpath,
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.ui.enabled=false",
+            os.path.join(REPO, "scripts", "run_stream_ingest.py"),
+            inp, out, "--watermark", "0 seconds",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    summary = json.loads(
+        [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
+    )
+    assert summary["agg_1m_partitions"] > 0
+
+    from getml_community_spark.checkpoint import SnapshotTable
+
+    t = SnapshotTable(os.path.join(out, "agg_1m"), partition_by=["day"])
+    got = t.read(spark)
+    assert got.count() > 0
+    # streamed rows agree with the batch rollup on their keys
+    from getml_community_spark.operators.rollup import rollup_from_raw
+
+    batch = rollup_from_raw(spark.read.parquet(inp), "1m")
+    joined = got.drop("day").join(batch, ["source", "bucket_start"], "left_anti")
+    assert joined.count() == 0  # nothing streamed that batch doesn't have
