@@ -3,6 +3,10 @@
 #
 #   scripts/submit.sh <master-url> <input-path> <output-root> [extra spark-submit args...]
 #
+# For continuous ingestion instead of batch runs, submit
+# scripts/run_stream_ingest.py with the same packaging (it streams the
+# 1m tier into the same snapshot store, exactly-once).
+#
 # The same code runs unmodified: local tests use local[n]; this script
 # adds Iceberg + AQE config for multi-executor runs. Scaling evidence
 # for the north rule comes from running this at N and 4N executors
