@@ -188,6 +188,28 @@ def q_distinct_hll_1h(spark, sf):
     )
 
 
+def q_exactsubstr_spans(spark, sf):
+    """ExactSubstr duplicated-span detection (Lee et al. 2021,
+    operators/dedup.duplicated_token_spans) over the documents table:
+    word-tokenize with the shared [^a-z0-9]+ split, flag maximal token
+    ranges whose every 10-gram occurs >= 2 times corpus-wide. The
+    oracle replays window-hash counting + gaps-and-islands in DuckDB
+    over the same gram strings."""
+    from getml_community_spark.operators.dedup import duplicated_token_spans
+
+    docs = _load(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != ""
+    )
+    df = docs.select("doc_id", toks.alias("tokens"))
+    spans = duplicated_token_spans(df, k=10)
+    return spans.select(
+        "doc_id",
+        F.col("start").cast("long").alias("span_start"),
+        F.col("end").cast("long").alias("span_end"),
+    )
+
+
 def q_rollup_1d_cascade(spark, sf):
     from getml_community_spark.operators.rollup import rollup_cascade, rollup_from_raw
 
@@ -1996,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- 1: no driver row yet -------------------------------------
+        "exactsubstr_spans": q_exactsubstr_spans,
         "range_rebucket_2h": q_range_rebucket_2h,
         "distinct_hll_1h": q_distinct_hll_1h,
         "counter_rate_1h": q_counter_rate_1h,
@@ -2036,7 +2059,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "png_decode": q_png_decode,
         "jpeg_decode": q_jpeg_decode,
-        "lttb_6h": q_lttb_6h,
         "anomaly_1h": q_anomaly_1h,
         "sax_daily": q_sax_daily,
         "pii_redact": q_pii_redact,
@@ -2049,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "repetition_stats": q_repetition_stats,
         # -- 4: tail — multi-round-stable basics (parked this round) --
+        "lttb_6h": q_lttb_6h,
         "sliding_window": q_sliding_window,
         "bmp_decode": q_bmp_decode,
         "wav_features": q_wav_features,
@@ -2235,6 +2258,36 @@ def oracle_sql() -> dict[str, str]:
     FROM events GROUP BY 1, 2
     """
     return {
+        "exactsubstr_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), winlists AS (
+              SELECT doc_id,
+                     [{'pos': i - 1, 'gram': array_to_string(w[i:i+9], ',')}
+                      for i in generate_series(1, len(w) - 9)] AS wl
+              FROM toks WHERE len(w) >= 10
+            ), wins AS (
+              SELECT doc_id, u.pos AS pos, u.gram AS gram
+              FROM (SELECT doc_id, unnest(wl) AS u FROM winlists)
+            ), c AS (
+              SELECT gram, count(*) AS cnt FROM wins GROUP BY 1
+            ), dup AS (
+              SELECT w.doc_id, w.pos
+              FROM wins w JOIN c USING (gram) WHERE c.cnt >= 2
+            ), runs AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS run
+              FROM dup
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 10 AS BIGINT) AS span_end
+            FROM runs GROUP BY doc_id, run
+        """,
         "range_rebucket_2h": f"""
             SELECT user_id,
                    CAST(to_timestamp(CAST(floor(epoch(ts) / 7200) * 7200 AS BIGINT))

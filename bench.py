@@ -69,6 +69,7 @@ HEADLINE = [
     "counter_rate_1h",
     "range_rebucket_2h",
     "distinct_hll_1h",
+    "exactsubstr_spans",
 ]
 
 

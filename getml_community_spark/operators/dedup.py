@@ -33,6 +33,8 @@ __all__ = [
     "minhash_lsh_pairs_verified",
     "token_shingles",
     "token_minhash_pairs",
+    "duplicated_token_spans",
+    "strip_token_spans",
     "minhash_lsh_dedup",
     "simhash",
     "simhash_pairs",
@@ -377,6 +379,94 @@ def token_minhash_pairs(
             (inter.cast("double") / union.cast("double")).alias("exact_jaccard"),
         )
     )
+
+
+def duplicated_token_spans(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection over token sequences
+    (the Lee et al. 2021 "Deduplicating Training Data…" operator, public
+    arXiv:2107.06499): find, per document, the maximal token ranges
+    whose every length-``k`` window occurs at least ``min_count`` times
+    in the WHOLE corpus (across or within documents).
+
+    Spark shape (all JVM, no UDFs): posexplode each doc's k-gram
+    windows → 64-bit window hash → one global hash-count aggregation →
+    semi-join back the positions whose hash is duplicated → merge
+    consecutive positions into maximal runs with one window pass
+    (run id = pos − row_number, the classic gaps-and-islands identity).
+    The shuffle carries (hash, count) and (id, pos) longs only — never
+    token arrays. The paper uses a suffix array on one big machine;
+    the rolling-window + count formulation is embarrassingly parallel
+    and matches it exactly for fixed k. Returns (doc_id, start, end) —
+    0-based token index ranges, ``end`` EXCLUSIVE, each covering
+    ``>= k`` tokens."""
+    from pyspark.sql import Window
+
+    toks = F.col(tokens_col)
+    n_win = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    win_hash = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(toks, i + 1, F.lit(k)), lambda t: t.cast("string")
+                ),
+            )
+        ),
+    )
+    pos = (
+        df.where(F.size(toks) >= k)
+        .select(F.col(id_col).alias("id"), F.posexplode(win_hash).alias("pos", "h"))
+    )
+    counts = pos.groupBy("h").agg(F.count(F.lit(1)).alias("__c"))
+    dup = (
+        pos.join(counts.where(F.col("__c") >= min_count), "h", "left_semi")
+        .select("id", "pos")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    run = F.col("pos") - F.row_number().over(w)
+    return (
+        dup.withColumn("__run", run)
+        .groupBy("id", "__run")
+        .agg(F.min("pos").alias("start"), (F.max("pos") + F.lit(k)).alias("end"))
+        .select(F.col("id").alias(id_col), "start", "end")
+    )
+
+
+def strip_token_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove flagged (start, end] token ranges from each document's
+    array (the ExactSubstr cut step): spans aggregate to one array of
+    structs per doc (bounded by n_tok/k spans), the cut is a JVM
+    higher-order filter on token index. Docs without spans pass through
+    unchanged; all other columns are preserved."""
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start", "end")).alias("__spans")
+    )
+    out = df.join(agg, id_col, "left")
+    toks = F.col(tokens_col)
+    keep = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda x: ~F.exists(
+            F.col("__spans"),
+            lambda s: (x["i"] >= s["start"]) & (x["i"] < s["end"]),
+        ),
+    )
+    cut = F.transform(keep, lambda x: x["t"])
+    return out.withColumn(
+        tokens_col,
+        F.when(F.col("__spans").isNull(), toks).otherwise(cut),
+    ).drop("__spans")
 
 
 def minhash_lsh_pairs_verified(

@@ -574,3 +574,91 @@ def test_token_minhash_pairs_finds_planted_sequence_dups(spark):
         exact = len(sa & sb) / len(sa | sb)
         assert abs(row["exact_jaccard"] - exact) < 1e-12
         assert 0.0 <= row["est_jaccard"] <= 1.0
+
+
+def test_duplicated_token_spans_and_strip_exactsubstr(spark):
+    """ExactSubstr dedup: flagged spans equal a python brute-force
+    (global k-window counts → position merge), covering cross-doc
+    shares, intra-doc repeats, span-free docs and short docs; the strip
+    step cuts exactly those ranges."""
+    import numpy as np
+
+    from getml_community_spark.operators.dedup import (
+        duplicated_token_spans,
+        strip_token_spans,
+    )
+
+    rng = np.random.default_rng(11)
+    k = 20
+    P = rng.integers(10**6, 2 * 10**6, size=60).tolist()  # shared passage
+    Q = rng.integers(10**6, 2 * 10**6, size=30).tolist()  # intra-doc block
+
+    def rnd(n):
+        return rng.integers(10**6, 2 * 10**6, size=n).tolist()
+
+    docs = {
+        "A": rnd(40) + P + rnd(35),
+        "B": rnd(10) + P + rnd(80),
+        "C": rnd(25) + Q + rnd(15) + Q + rnd(10),
+        "D": rnd(150),
+        "E": rnd(k - 1),  # shorter than k: no windows
+    }
+    df = spark.createDataFrame(
+        [(i, t, "s") for i, t in docs.items()], ["doc_id", "tokens", "source"]
+    )
+    got = (
+        duplicated_token_spans(df, k=k)
+        .toPandas()
+        .sort_values(["doc_id", "start"])
+        .reset_index(drop=True)
+    )
+
+    # python brute force
+    from collections import Counter
+
+    cnt = Counter()
+    for toks in docs.values():
+        for i in range(len(toks) - k + 1):
+            cnt[tuple(toks[i : i + k])] += 1
+    want = []
+    for did, toks in docs.items():
+        dup_pos = [
+            i
+            for i in range(len(toks) - k + 1)
+            if cnt[tuple(toks[i : i + k])] >= 2
+        ]
+        run_start = None
+        for j, p in enumerate(dup_pos):
+            if run_start is None:
+                run_start = p
+            if j + 1 == len(dup_pos) or dup_pos[j + 1] != p + 1:
+                want.append((did, run_start, p + k))
+                run_start = None
+    import pandas as pd
+
+    want = (
+        pd.DataFrame(want, columns=["doc_id", "start", "end"])
+        .sort_values(["doc_id", "start"])
+        .reset_index(drop=True)
+    )
+    assert got.astype({"start": int, "end": int}).equals(want.astype({"start": int, "end": int})), (got, want)
+    # sanity: the planted structures were found
+    assert ("A", 40, 100) in set(map(tuple, want.values))
+    assert len(want[want["doc_id"] == "C"]) == 2
+
+    # strip: exactly the flagged ranges are removed, other docs intact
+    spans = duplicated_token_spans(df, k=k)
+    stripped = {
+        r["doc_id"]: list(r["tokens"])
+        for r in strip_token_spans(df, spans).collect()
+    }
+    for did, toks in docs.items():
+        flagged = [
+            (s, e) for d, s, e in map(tuple, want.values) if d == did
+        ]
+        expect = [
+            t
+            for i, t in enumerate(toks)
+            if not any(s <= i < e for s, e in flagged)
+        ]
+        assert stripped[did] == expect, did
