@@ -381,6 +381,53 @@ def token_minhash_pairs(
     )
 
 
+def _rolling_window_hashes(k: int):
+    """Vectorized Rabin–Karp: one 64-bit hash per window position in
+    O(n) per document (prefix sums of B^i-scaled tokens; window =
+    (p[i+k] − p[i])·B^{−i}, everything mod 2^64 where odd B is
+    invertible), plus a final avalanche mix. Replaces the O(n·k)
+    per-window string hashing — at 10^12 token positions the k=50
+    factor is the difference between hours and weeks. numpy uint64
+    wraparound does the modular arithmetic; Arrow batches keep it
+    off the per-row Python path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.uint64(0x9E3779B97F4A7C15)  # odd → invertible mod 2^64
+    INV_B = np.uint64(pow(int(B), -1, 2**64))
+    M1 = np.uint64(0xFF51AFD7ED558CCD)  # splitmix64 avalanche constants
+    M2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+    @pandas_udf("array<long>")
+    def _roll(tokens):  # pd.Series[list[int]] -> pd.Series[list[int]]
+        out = []
+        with np.errstate(over="ignore"):
+            for arr in tokens:
+                t = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+                n = len(t)
+                if n < k:
+                    out.append(np.empty(0, dtype=np.int64))
+                    continue
+                powB = np.cumprod(np.full(n, B, dtype=np.uint64))  # B^1..B^n
+                inv = np.cumprod(np.full(n - k + 1, INV_B, dtype=np.uint64))
+                # p[i] = Σ_{j<i} (t[j]+1)·B^{j+1}; +1 keeps token id 0 visible
+                p = np.zeros(n + 1, dtype=np.uint64)
+                np.cumsum((t + np.uint64(1)) * powB, out=p[1:])
+                h = (p[k:] - p[:-k]) * inv
+                # avalanche (splitmix64 finalizer) to break the
+                # algebraic structure before bucketing
+                h ^= h >> np.uint64(33)
+                h *= M1
+                h ^= h >> np.uint64(33)
+                h *= M2
+                h ^= h >> np.uint64(33)
+                out.append(h.view(np.int64))
+        return pd.Series(out)
+
+    return _roll
+
+
 def duplicated_token_spans(
     df: DataFrame,
     tokens_col: str = "tokens",
@@ -394,35 +441,37 @@ def duplicated_token_spans(
     whose every length-``k`` window occurs at least ``min_count`` times
     in the WHOLE corpus (across or within documents).
 
-    Spark shape (all JVM, no UDFs): posexplode each doc's k-gram
-    windows → 64-bit window hash → one global hash-count aggregation →
-    semi-join back the positions whose hash is duplicated → merge
-    consecutive positions into maximal runs with one window pass
-    (run id = pos − row_number, the classic gaps-and-islands identity).
-    The shuffle carries (hash, count) and (id, pos) longs only — never
-    token arrays. The paper uses a suffix array on one big machine;
-    the rolling-window + count formulation is embarrassingly parallel
-    and matches it exactly for fixed k. Returns (doc_id, start, end) —
-    0-based token index ranges, ``end`` EXCLUSIVE, each covering
-    ``>= k`` tokens."""
+    Spark shape: a vectorized O(n)-per-doc Rabin–Karp rolling hash
+    (Arrow-batched numpy — see ``_rolling_window_hashes``) → posexplode
+    (id, pos, hash) → one global hash-count aggregation → semi-join
+    back the positions whose hash is duplicated → merge consecutive
+    positions into maximal runs with one window pass (run id = pos −
+    row_number, the classic gaps-and-islands identity). The shuffle
+    carries (hash, count) and (id, pos) longs only — never token
+    arrays. The paper uses a suffix array on one big machine; the
+    rolling-window + count formulation is embarrassingly parallel and
+    matches it exactly for fixed k (modulo 64-bit hash collisions,
+    ~n²/2^65). Returns (doc_id, start, end) — 0-based token index
+    ranges, ``end`` EXCLUSIVE, each covering ``>= k`` tokens."""
     from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType, StringType
 
     toks = F.col(tokens_col)
-    n_win = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
-    win_hash = F.transform(
-        F.sequence(F.lit(0), n_win - 1),
-        lambda i: F.xxhash64(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(toks, i + 1, F.lit(k)), lambda t: t.cast("string")
-                ),
-            )
-        ),
-    )
+    # the rolling hash runs on 64-bit ints; word-token (string) arrays
+    # pre-map through one JVM xxhash64 per token — still O(n), and the
+    # UDF argument stays a plain column expression (CLAUDE.md: no
+    # let-wrapping of pandas-UDF args)
+    elem = df.schema[tokens_col].dataType
+    if isinstance(elem, ArrayType) and isinstance(elem.elementType, StringType):
+        toks_int = F.transform(toks, lambda t: F.xxhash64(t))
+    else:
+        toks_int = F.transform(toks, lambda t: t.cast("long"))
     pos = (
         df.where(F.size(toks) >= k)
-        .select(F.col(id_col).alias("id"), F.posexplode(win_hash).alias("pos", "h"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(_rolling_window_hashes(k)(toks_int)).alias("pos", "h"),
+        )
     )
     counts = pos.groupBy("h").agg(F.count(F.lit(1)).alias("__c"))
     dup = (
