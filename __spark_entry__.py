@@ -1948,6 +1948,41 @@ def q_minhash_dedup(spark, sf):
     ).select("doc_id", "source")
 
 
+def q_token_neardup(spark, sf):
+    """Near-duplicate TOKEN-SEQUENCE pairs (the input_hint payload:
+    tokens array<int>) via token_minhash_pairs — MinHash-LSH over
+    8-token-ID shingles, candidates re-scored with the EXACT shingle
+    Jaccard, so the oracle is all-pairs Jaccard over the same shingle
+    sets in DuckDB (P(miss) for a true >=0.8 pair ~ 5e-8). The testdata
+    has no tokens column, so the query derives a deterministic token-ID
+    sequence per document from the text with the md5-60 word hash
+    (reproducible in SQL, unlike xxhash64) mod a 65536 vocab — the
+    operator itself never touches text."""
+    from getml_community_spark.operators.dedup import token_minhash_pairs
+
+    docs = _load(spark, sf, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda w: w != ""
+    )
+    toks = F.transform(
+        words,
+        lambda w: (
+            F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+            % F.lit(65536)
+        ).cast("int"),
+    )
+    df = docs.select("doc_id", toks.alias("tokens"))
+    # max_bucket_size=None: uncapped — the oracle is all-pairs
+    pairs = token_minhash_pairs(
+        df, "tokens", "doc_id", shingle_n=8, max_bucket_size=None
+    )
+    # exact_jaccard is a ratio of two ints — bit-identical IEEE division
+    # in both engines, no rounding needed
+    return pairs.where(F.col("exact_jaccard") >= 0.8).select(
+        "id_a", "id_b", "exact_jaccard"
+    )
+
+
 def q_simhash_pairs(spark, sf):
     """SimHash near-dup pairs, oracle-exact configuration: md5-derived
     60-bit token hashes (reproducible in SQL, unlike xxhash64) and
@@ -2018,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- 1: no driver row yet -------------------------------------
+        "token_neardup": q_token_neardup,
         "exactsubstr_spans": q_exactsubstr_spans,
         "range_rebucket_2h": q_range_rebucket_2h,
         "distinct_hll_1h": q_distinct_hll_1h,
@@ -2139,6 +2175,43 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
                CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+def _token_neardup_oracle_sql(shingle_n: int = 8, vocab: int = 65536) -> str:
+    """All-pairs exact token-shingle Jaccard — the oracle for
+    q_token_neardup (LSH recall argument as in minhash_dedup). The
+    token derivation (md5-60 word hash mod vocab) and the shingle
+    rendering (comma-joined id windows, whole-sequence shingle for
+    short docs) mirror the Spark side verbatim."""
+    hex_parse = (
+        "list_reduce([CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)"
+        " for c in str_split(substr(md5(wtok), 1, 15), '')],"
+        " (a, b) -> a * 16 + b)"
+    )
+    n1 = shingle_n - 1
+    jac = (
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+        " / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE)"
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> ''),
+                   wtok -> {hex_parse} % {vocab}) AS t
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(t[i:i+{n1}], ',')
+                                for i in generate_series(1, greatest(len(t)-{n1}, 1))]) AS s
+          FROM toks
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               {jac} AS exact_jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE {jac} >= 0.8
     """
 
 
@@ -3592,6 +3665,7 @@ def oracle_sql() -> dict[str, str]:
                    round(o_totalprice, 2) AS price2
             FROM orders
         """,
+        "token_neardup": _token_neardup_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
         "lsh_topk": _lsh_topk_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),

@@ -48,6 +48,10 @@ class Snapshot:
     # streaming ingestion to make the manifest commit itself the
     # exactly-once batch registry: {"stream_batches": {key: last_id}}
     meta: dict = field(default_factory=dict)
+    # Iceberg snapshot "operation" summary: append | delete | replace.
+    # changes() uses it to refuse (or skip) non-append snapshots the way
+    # Iceberg's incremental append scan does.
+    operation: str = "append"
 
 
 class SnapshotTable:
@@ -84,18 +88,33 @@ class SnapshotTable:
             d["entries"],
             d["committed_at"],
             d.get("meta", {}),
+            # pre-round-5 manifests lack the field; every commit path
+            # then was append or delete, and delete adds no entries, so
+            # "append" is the safe default for changes()
+            d.get("operation", "append"),
         )
 
     def current(self) -> Snapshot | None:
         sid = self.current_snapshot_id()
         return self._load(sid) if sid else None
 
-    def _commit(self, entries: list[dict], meta: dict | None = None) -> str:
+    def _commit(
+        self,
+        entries: list[dict],
+        meta: dict | None = None,
+        operation: str = "append",
+    ) -> str:
         sid = uuid.uuid4().hex[:16]
         if meta is None:
             cur = self.current()
             meta = dict(cur.meta) if cur else {}
-        snap = Snapshot(sid, self.current_snapshot_id(), entries, meta=meta)
+        snap = Snapshot(
+            sid,
+            self.current_snapshot_id(),
+            entries,
+            meta=meta,
+            operation=operation,
+        )
         _atomic_write_json(
             os.path.join(self.root, "snapshots", f"{sid}.json"), snap.__dict__
         )
@@ -239,7 +258,7 @@ class SnapshotTable:
                 for e in (cur.entries if cur else [])
                 if not predicate(e["partition"])
             ]
-            return self._commit(entries)
+            return self._commit(entries, operation="delete")
 
     # ---- maintenance --------------------------------------------------- #
     def compact_partitions(
@@ -347,7 +366,7 @@ class SnapshotTable:
             entries = [
                 e for e in fresh_entries if e["path"] not in drop
             ] + kept_new
-            sid = self._commit(entries)
+            sid = self._commit(entries, operation="replace")
         report.update(
             partitions=len(committed),
             files_before=sum(
@@ -454,6 +473,88 @@ class SnapshotTable:
     def partitions(self, snapshot_id: str | None = None) -> list[dict]:
         snap = self._load(snapshot_id) if snapshot_id else self.current()
         return [e["partition"] for e in (snap.entries if snap else [])]
+
+    def changes(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: str,
+        to_snapshot_id: str | None = None,
+        on_replace: str = "error",
+    ) -> DataFrame:
+        """Incremental append scan (Iceberg ``incremental read``): the
+        rows ADDED strictly after ``from_snapshot_id`` up to and
+        including ``to_snapshot_id`` (default HEAD).
+
+        Walks the snapshot parent chain and unions only the entries each
+        append commit introduced over its parent, so an incremental
+        consumer (e.g. a downstream rollup catching up on a streaming
+        ingest table) reads new data dirs only — never a rescan of the
+        table. ``delete`` snapshots (retention) add nothing and are
+        skipped. ``replace`` snapshots (compaction) rewrite EXISTING
+        rows; like Iceberg's incremental scan this raises on them by
+        default (``on_replace="error"``) because the appended-rows
+        delta is no longer representable from the manifest alone;
+        ``on_replace="skip"`` ignores them (correct whenever compaction
+        only ever rewrites data already consumed). Raises if
+        ``from_snapshot_id`` is not an ancestor of the target (e.g.
+        expired) — resume from a full read instead.
+        """
+        target = to_snapshot_id or self.current_snapshot_id()
+        if target is None:
+            raise FileNotFoundError(f"no snapshot in {self.root}")
+        chain = []  # newest→oldest, excluding from_snapshot_id
+        sid = target
+        while sid is not None and sid != from_snapshot_id:
+            snap = self._load(sid)
+            chain.append(snap)
+            sid = snap.parent
+        if sid != from_snapshot_id:
+            raise ValueError(
+                f"{from_snapshot_id} is not an ancestor of {target} "
+                "(expired or from another table) — do a full read()"
+            )
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        parent_paths = {e["path"] for e in self._load(from_snapshot_id).entries}
+        new_entries = []
+        for snap in reversed(chain):  # oldest→newest, commit order
+            added = [e for e in snap.entries if e["path"] not in parent_paths]
+            if snap.operation == "replace" and added:
+                if on_replace == "error":
+                    raise ValueError(
+                        f"snapshot {snap.snapshot_id} is a compaction "
+                        "(replace) — its entries rewrite existing rows; "
+                        "pass on_replace='skip' if those rows were "
+                        "already consumed, or full-read()"
+                    )
+            elif snap.operation != "delete":
+                new_entries.extend(added)
+            parent_paths = {e["path"] for e in snap.entries}
+        base = chain[0] if chain else self._load(target)
+        ref = base.entries or self._load(from_snapshot_id).entries
+        if not new_entries:
+            if not ref:
+                raise FileNotFoundError(f"no data in {self.root}")
+            d = spark.read.parquet(ref[0]["path"]).where(F.lit(False))
+            types = ref[0].get("types", {})
+            for k, v in ref[0]["partition"].items():
+                d = d.withColumn(k, F.lit(v).cast(types.get(k, "string")))
+            return d
+        dfs = []
+        for e in new_entries:
+            d = spark.read.parquet(e["path"])
+            types = e.get("types", {})
+            for k, v in e["partition"].items():
+                col = F.lit(v)
+                if k in types:
+                    col = col.cast(types[k])
+                d = d.withColumn(k, col)
+            dfs.append(d)
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+        )
 
 
 class LineageLog:

@@ -783,3 +783,67 @@ def test_query_range_archive_serves_expired_history(spark, corpus_path, tmp_path
     assert_frames_equal_unordered(
         got, want, ["source", "bucket_start"], rtol=1e-12
     )
+
+
+def test_incremental_changes_appends_only(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "inc"), partition_by=["day"])
+    mk = lambda day, lo, hi: (
+        spark.range(lo, hi).toDF("x").withColumn("day", F.lit(day))
+    )
+    s1 = t.append(mk("d1", 0, 3))
+    s2 = t.append(mk("d2", 10, 14))
+    s3 = t.append(mk("d1", 3, 5))
+
+    # delta s1→HEAD = the two later appends, no rescan of s1's rows
+    got = t.changes(spark, s1).toPandas()
+    assert sorted(got.x.tolist()) == [3, 4, 10, 11, 12, 13]
+    # bounded delta s1→s2
+    got2 = t.changes(spark, s1, to_snapshot_id=s2).toPandas()
+    assert sorted(got2.x.tolist()) == [10, 11, 12, 13]
+    # empty delta is an empty typed frame, not an error
+    empty = t.changes(spark, s3)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"x", "day"}
+
+    # retention (delete) snapshots add nothing
+    t.delete_partitions(lambda p: p["day"] == "d2")
+    got3 = t.changes(spark, s3).toPandas()
+    assert got3.empty
+
+    # a later append after the delete is still an append-only delta
+    t.append(mk("d3", 100, 102))
+    got4 = t.changes(spark, s3).toPandas()
+    assert sorted(got4.x.tolist()) == [100, 101]
+
+
+def test_incremental_changes_replace_semantics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "inc2"), partition_by=["day"])
+    mk = lambda day, lo, hi: (
+        spark.range(lo, hi).toDF("x").withColumn("day", F.lit(day))
+    )
+    s1 = t.append(mk("d1", 0, 3))
+    t.append(mk("d1", 3, 6))
+    s3_id = t.current_snapshot_id()
+    rep = t.compact_partitions(spark)
+    assert rep["partitions"] == 1
+
+    # compaction rewrites consumed rows: incremental scan across it
+    # errors by default, skip-mode sees no new rows
+    with pytest.raises(ValueError, match="replace"):
+        t.changes(spark, s3_id)
+    assert t.changes(spark, s3_id, on_replace="skip").count() == 0
+    # ...and an unconsumed append window crossing the compaction still
+    # yields exactly the appended rows in skip-mode
+    with pytest.raises(ValueError, match="replace"):
+        t.changes(spark, s1)
+    assert sorted(
+        t.changes(spark, s1, on_replace="skip").toPandas().x.tolist()
+    ) == [3, 4, 5]
+
+    # non-ancestor (unknown/expired) base → explicit error
+    with pytest.raises((ValueError, FileNotFoundError)):
+        t.changes(spark, "deadbeefdeadbeef")
