@@ -1948,30 +1948,35 @@ def q_minhash_dedup(spark, sf):
     ).select("doc_id", "source")
 
 
-def q_token_neardup(spark, sf):
-    """Near-duplicate TOKEN-SEQUENCE pairs (the input_hint payload:
-    tokens array<int>) via token_minhash_pairs — MinHash-LSH over
-    8-token-ID shingles, candidates re-scored with the EXACT shingle
-    Jaccard, so the oracle is all-pairs Jaccard over the same shingle
-    sets in DuckDB (P(miss) for a true >=0.8 pair ~ 5e-8). The testdata
-    has no tokens column, so the query derives a deterministic token-ID
-    sequence per document from the text with the md5-60 word hash
-    (reproducible in SQL, unlike xxhash64) mod a 65536 vocab — the
-    operator itself never touches text."""
-    from getml_community_spark.operators.dedup import token_minhash_pairs
-
-    docs = _load(spark, sf, "documents")
+def _md5_tokens_expr():
+    """Deterministic token-ID sequence derived from `text`: md5-60 word
+    hash (reproducible in DuckDB SQL, unlike xxhash64) mod a 65536
+    vocab. The testdata has no tokens column, so token-axis contract
+    queries tokenize with this shim — the operators themselves never
+    touch text (production input is the pre-tokenized table,
+    input_hint)."""
     words = F.filter(
         F.split(F.lower(F.col("text")), r"[^a-z0-9]+"), lambda w: w != ""
     )
-    toks = F.transform(
+    return F.transform(
         words,
         lambda w: (
             F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
             % F.lit(65536)
         ).cast("int"),
     )
-    df = docs.select("doc_id", toks.alias("tokens"))
+
+
+def q_token_neardup(spark, sf):
+    """Near-duplicate TOKEN-SEQUENCE pairs (the input_hint payload:
+    tokens array<int>) via token_minhash_pairs — MinHash-LSH over
+    8-token-ID shingles, candidates re-scored with the EXACT shingle
+    Jaccard, so the oracle is all-pairs Jaccard over the same shingle
+    sets in DuckDB (P(miss) for a true >=0.8 pair ~ 5e-8)."""
+    from getml_community_spark.operators.dedup import token_minhash_pairs
+
+    docs = _load(spark, sf, "documents")
+    df = docs.select("doc_id", _md5_tokens_expr().alias("tokens"))
     # max_bucket_size=None: uncapped — the oracle is all-pairs
     pairs = token_minhash_pairs(
         df, "tokens", "doc_id", shingle_n=8, max_bucket_size=None
@@ -1980,6 +1985,28 @@ def q_token_neardup(spark, sf):
     # in both engines, no rounding needed
     return pairs.where(F.col("exact_jaccard") >= 0.8).select(
         "id_a", "id_b", "exact_jaccard"
+    )
+
+
+def q_token_chunks(spark, sf):
+    """Per-document overlapping token windows (packing.chunk_tokens:
+    size=64, stride=48, min_tokens=8) over md5-derived token IDs — the
+    RAG/long-doc splitting step. Chunks render as comma-joined strings
+    so the driver hash covers the full array payload; the oracle
+    replays the start arithmetic and list slicing in DuckDB."""
+    from getml_community_spark.operators.packing import chunk_tokens
+
+    docs = _load(spark, sf, "documents")
+    df = docs.select("doc_id", _md5_tokens_expr().alias("tokens"))
+    ch = chunk_tokens(df, size=64, stride=48, min_tokens=8)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.concat_ws(
+            ",", F.transform("tokens", lambda t: t.cast("string"))
+        ).alias("chunk"),
+        "n_tok",
     )
 
 
@@ -2054,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- 1: no driver row yet -------------------------------------
         "token_neardup": q_token_neardup,
+        "token_chunks": q_token_chunks,
         "exactsubstr_spans": q_exactsubstr_spans,
         "range_rebucket_2h": q_range_rebucket_2h,
         "distinct_hll_1h": q_distinct_hll_1h,
@@ -2212,6 +2240,44 @@ def _token_neardup_oracle_sql(shingle_n: int = 8, vocab: int = 65536) -> str:
                {jac} AS exact_jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE {jac} >= 0.8
+    """
+
+
+def _token_chunks_oracle_sql(
+    size: int = 64, stride: int = 48, min_tokens: int = 8, vocab: int = 65536
+) -> str:
+    """Replays chunk_tokens' start arithmetic (starts 0, stride, ...
+    while inside the doc; first chunk always kept; short tails dropped)
+    over the same md5-derived token IDs with DuckDB list slicing."""
+    hex_parse = (
+        "list_reduce([CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)"
+        " for c in str_split(substr(md5(wtok), 1, 15), '')],"
+        " (a, b) -> a * 16 + b)"
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> ''),
+                   wtok -> {hex_parse} % {vocab}) AS t
+          FROM documents
+        ), ch AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(0, (len(t)-1) // {stride})) AS cid
+          FROM toks WHERE len(t) > 0
+        ), sl AS (
+          SELECT doc_id,
+                 CAST(cid AS BIGINT) AS chunk_id,
+                 CAST(cid * {stride} AS BIGINT) AS chunk_start,
+                 t[cid*{stride}+1 : cid*{stride}+{size}] AS c
+          FROM ch
+        )
+        SELECT doc_id, chunk_id, chunk_start,
+               array_to_string(c, ',') AS chunk,
+               CAST(len(c) AS BIGINT) AS n_tok
+        FROM sl
+        WHERE chunk_id = 0 OR len(c) >= {min_tokens}
     """
 
 
@@ -3666,6 +3732,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "token_neardup": _token_neardup_oracle_sql(),
+        "token_chunks": _token_chunks_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
         "lsh_topk": _lsh_topk_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["pack_sequences", "pack_stats"]
+__all__ = ["pack_sequences", "pack_stats", "chunk_tokens"]
 
 
 def _pieces(
@@ -157,4 +157,84 @@ def pack_stats(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("__len").cast("long").alias("n_tok"),
         F.sum("__sum").cast("long").alias("sum_tok"),
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    size: int,
+    stride: int | None = None,
+    tokens_col: str = "tokens",
+    min_tokens: int = 1,
+    pad_id: int | None = None,
+) -> DataFrame:
+    """Per-document fixed-size token windows with optional overlap —
+    the long-document splitting step (RAG chunking / HF
+    ``return_overflowing_tokens``) that complements cross-document
+    :func:`pack_sequences`.
+
+    Window starts are ``0, stride, 2*stride, ...`` while the start is
+    inside the document; each chunk is the next ``size`` tokens (the
+    final chunk may be short). ``stride < size`` gives overlapping
+    context windows; default ``stride=size`` is a disjoint split. Tail
+    chunks shorter than ``min_tokens`` are dropped EXCEPT a document's
+    first chunk (a short document still yields one chunk). With
+    ``pad_id`` the emitted array is right-padded to exactly ``size``
+    (``n_tok`` stays the unpadded length — the attention-mask
+    boundary).
+
+    Output: input columns minus ``tokens_col`` plus (chunk_id,
+    chunk_start, tokens, n_tok). Input columns named like an output
+    column are superseded by the chunk-level value (the corpus's
+    doc-level ``n_tok`` becomes the chunk's length — the doc total is
+    recoverable as the sum over its disjoint chunks).
+
+    Scale shape: zero shuffles — pure per-row JVM expressions
+    (sequence → posexplode → slice); the explode factor is bounded by
+    each document's own length over ``stride``, never by the corpus.
+    Skew-free by construction (no keys). At 10^12 sequences this is a
+    map-only pass that pipelines into the shard writer.
+    """
+    stride = size if stride is None else stride
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    if min_tokens > size:
+        raise ValueError("min_tokens cannot exceed size")
+    n = F.size(F.col(tokens_col))
+    nch = F.floor((n - F.lit(1)) / F.lit(stride)) + 1  # valid when n > 0
+    starts = F.when(
+        n > 0,
+        F.sequence(F.lit(0).cast("long"), (nch - 1) * stride, F.lit(stride).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    passthrough = [
+        c
+        for c in df.columns
+        if c not in (tokens_col, "chunk_id", "chunk_start", "n_tok")
+    ]
+    ex = df.select(
+        *passthrough,
+        F.col(tokens_col).alias("__toks"),
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("chunk_start") + 1, size)
+    real_len = F.size(chunk)
+    if pad_id is not None:
+        elem_t = [f.dataType for f in df.schema.fields if f.name == tokens_col][
+            0
+        ].elementType.simpleString()
+        chunk_out = F.concat(
+            chunk,
+            F.array_repeat(F.lit(pad_id).cast(elem_t), size - real_len),
+        )
+    else:
+        chunk_out = chunk
+    return (
+        ex.select(
+            *passthrough,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            chunk_out.alias("tokens"),
+            real_len.cast("long").alias("n_tok"),
+        )
+        .where((F.col("chunk_id") == 0) | (F.col("n_tok") >= min_tokens))
     )

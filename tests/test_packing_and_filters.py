@@ -226,3 +226,62 @@ def test_top_gram_is_argmax_by_count_not_coverage(spark):
 
     want = math.floor(top_count * len(best) / chars * 1e6 + 0.5) / 1e6
     assert row["top_2gram_frac"] == want
+
+
+def test_chunk_tokens_matches_bruteforce(spark):
+    import random
+
+    from getml_community_spark.operators.packing import chunk_tokens
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        n = rng.choice([0, 1, 3, 7, 8, 9, 63, 64, 65, 100, 257])
+        rows.append((f"d{i:03d}", [rng.randrange(1000) for _ in range(n)], f"s{i%3}"))
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, source string")
+
+    size, stride, min_tokens = 64, 48, 8
+    got = (
+        chunk_tokens(df, size=size, stride=stride, min_tokens=min_tokens)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+
+    exp = []
+    for doc_id, toks, source in rows:
+        starts = list(range(0, max(len(toks), 1), stride)) if toks else []
+        for ci, s in enumerate(starts):
+            ch = toks[s : s + size]
+            if ci > 0 and len(ch) < min_tokens:
+                continue
+            exp.append((doc_id, source, ci, s, ch, len(ch)))
+    exp.sort(key=lambda r: (r[0], r[2]))
+    assert len(got) == len(exp)
+    for r, (doc_id, source, ci, s, ch, ln) in zip(got.itertuples(index=False), exp):
+        assert (r.doc_id, r.source, r.chunk_id, r.chunk_start) == (doc_id, source, ci, s)
+        assert list(r.tokens) == ch and r.n_tok == ln
+
+    # padded form: every array exactly `size` long, n_tok unchanged,
+    # pad suffix all pad_id
+    pad = (
+        chunk_tokens(df, size=size, stride=stride, min_tokens=min_tokens, pad_id=-1)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    assert len(pad) == len(exp)
+    for r, (_, _, _, _, ch, ln) in zip(pad.itertuples(index=False), exp):
+        assert len(r.tokens) == size and r.n_tok == ln
+        assert list(r.tokens[:ln]) == ch
+        assert all(t == -1 for t in r.tokens[ln:])
+
+    # disjoint default reassembles every document exactly
+    # (token-array-equality invariant, input_hint)
+    dis = chunk_tokens(df, size=size).toPandas()
+    re = {}
+    for r in dis.sort_values(["doc_id", "chunk_id"]).itertuples(index=False):
+        re.setdefault(r.doc_id, []).extend(r.tokens)
+    for doc_id, toks, _ in rows:
+        if toks:
+            assert re[doc_id] == toks
