@@ -1058,6 +1058,24 @@ def q_ivf_topk(spark, sf):
     )
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table with the
+    same fixed seeded coarse quantizer as ivf_topk: cluster assignment,
+    within-cluster near-dup detection (cosine >= 1-eps) and the
+    keep-farthest-from-centroid priority rule are all replayed verbatim
+    in the DuckDB oracle. eps=0.65 matches the testdata's planted
+    near-dup separation (embedding_near_dups threshold 0.35)."""
+    from getml_community_spark.operators.dedup import semdedup
+
+    embs = _load(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = semdedup(embs, _ivf_fixed_centroids(), eps=0.65)
+    return out.select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "label"
+    )
+
+
 def q_multimodal_features(spark, sf):
     """Multimodal binary-column plumbing, driver-gated: documents' text
     bytes play opaque payloads; JVM metadata (byte length, magic-number
@@ -2082,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 1: no driver row yet -------------------------------------
         "token_neardup": q_token_neardup,
         "token_chunks": q_token_chunks,
+        "semdedup": q_semdedup,
         "exactsubstr_spans": q_exactsubstr_spans,
         "range_rebucket_2h": q_range_rebucket_2h,
         "distinct_hll_1h": q_distinct_hll_1h,
@@ -2382,6 +2401,42 @@ def _ivf_topk_oracle_sql(k: int = 5, n_probe: int = 4) -> str:
                  PARTITION BY query_id ORDER BY score DESC, vec_id ASC
                ) AS INT) AS rank
         FROM scored QUALIFY rank <= {k}
+    """
+
+
+def _semdedup_oracle_sql(eps: float = 0.65) -> str:
+    """Assignment + within-cluster greedy dedup with the seeded
+    centroid literals; the threshold is rendered as (1.0 - eps) so both
+    engines compare against the identical IEEE double."""
+    cent = _ivf_fixed_centroids()
+    values = ",\n              ".join(
+        f"({c}, {_vec_lit(v)})" for c, v in enumerate(cent)
+    )
+    return f"""
+        WITH cent(cell, p) AS (VALUES {values}),
+        corpus AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        ca AS (
+          SELECT vec_id, label, v, cell, sim FROM (
+            SELECT corpus.vec_id, corpus.label, corpus.v, cent.cell,
+                   list_cosine_similarity(corpus.v, cent.p) AS sim,
+                   row_number() OVER (
+                     PARTITION BY corpus.vec_id
+                     ORDER BY list_cosine_similarity(corpus.v, cent.p) DESC,
+                              cent.cell DESC
+                   ) AS rn
+            FROM corpus CROSS JOIN cent
+          ) WHERE rn = 1
+        ),
+        losers AS (
+          SELECT DISTINCT a.vec_id
+          FROM ca a JOIN ca b
+            ON a.cell = b.cell AND a.vec_id <> b.vec_id
+          WHERE list_cosine_similarity(a.v, b.v) >= (1.0 - {eps!r})
+            AND (b.sim < a.sim OR (b.sim = a.sim AND b.vec_id < a.vec_id))
+        )
+        SELECT ca.vec_id, CAST(ca.cell AS INT) AS cell, ca.label
+        FROM ca WHERE ca.vec_id NOT IN (SELECT vec_id FROM losers)
     """
 
 
@@ -3736,6 +3791,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
         "lsh_topk": _lsh_topk_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
+        "semdedup": _semdedup_oracle_sql(),
     }
 
 

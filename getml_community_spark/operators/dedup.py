@@ -40,6 +40,7 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard",
     "embedding_near_dups",
+    "semdedup",
     "lsh_bucket_occupancy",
     "line_dedup",
 ]
@@ -884,3 +885,94 @@ def line_dedup(
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.05,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster
+    embeddings with a coarse quantizer, then inside each cluster drop
+    every item that has a semantic near-duplicate (cosine >= 1 - eps)
+    of higher keep-priority. Following the paper, the keeper of a
+    duplicate group is the item FARTHEST from its cluster centroid
+    (lowest centroid cosine; ascending-id tiebreak) — it preserves the
+    cluster's outer "diversity shell" and drops the redundant core.
+    Greedy one-hop semantics as in :func:`minhash_lsh_dedup`: a row
+    with ANY higher-priority near-dup is dropped.
+
+    ``centroids``: list of unit vectors (a pretrained codebook, or
+    :func:`~.similarity.ivf_topk`-style seeded/sampled k-means output).
+    Passing them explicitly keeps the whole plan deterministic —
+    assignment is a static broadcast-literal expression (no shuffle, no
+    UDF), exactly the IVF coarse-quantizer pattern.
+
+    Returns the surviving rows of ``df`` (original columns) plus the
+    assigned ``cell``.
+
+    Scale shape: one shuffle on ``cell`` for the within-cluster
+    self-join; pairwise cost is Σ m_c² over cluster sizes — the paper's
+    own cost model, controlled by the codebook size (n_centroids ≈
+    N/target_cluster_size; LAION-440M used 50k clusters).
+    ``max_cluster_size`` caps a degenerate hot cell (overflow rows
+    auto-survive, deterministic by priority order) — keep it OFF for
+    oracle-gated runs.
+    """
+    import numpy as np
+
+    from .similarity import cosine
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cent_cols = [
+        F.array(*[F.lit(float(x)) for x in cent[c]]) for c in range(len(cent))
+    ]
+    v = F.col(vec_col)
+    best = F.greatest(
+        *[
+            F.struct(cosine(v, cc).alias("s"), F.lit(c).alias("c"))
+            for c, cc in enumerate(cent_cols)
+        ]
+    )
+    assigned = df.select(
+        F.col(id_col).alias("__id"),
+        v.alias("__v"),
+        best["c"].alias("cell"),
+        best["s"].alias("__csim"),
+    )
+    if max_cluster_size is not None:
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(
+            Window.partitionBy("cell").orderBy("__csim", "__id")
+        )
+        assigned = assigned.withColumn("__rn", rn).where(
+            F.col("__rn") <= max_cluster_size
+        ).drop("__rn")
+    # one materialized pass: the self-join branches don't share
+    # subtrees (no exchange reuse across aliases), and the assignment
+    # expression is wide (n_centroids structs)
+    assigned = assigned.localCheckpoint(eager=True)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    higher_priority = (F.col("b.__csim") < F.col("a.__csim")) | (
+        (F.col("b.__csim") == F.col("a.__csim"))
+        & (F.col("b.__id") < F.col("a.__id"))
+    )
+    losers = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.__id") != F.col("b.__id"))
+            & higher_priority
+            & (cosine(F.col("a.__v"), F.col("b.__v")) >= 1.0 - eps),
+        )
+        .select(F.col("a.__id").alias("__loser"))
+        .distinct()
+    )
+    keep = assigned.join(
+        losers, assigned["__id"] == losers["__loser"], "left_anti"
+    ).select(F.col("__id").alias(id_col), "cell")
+    return df.join(keep, id_col)

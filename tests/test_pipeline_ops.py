@@ -662,3 +662,63 @@ def test_duplicated_token_spans_and_strip_exactsubstr(spark):
             if not any(s <= i < e for s, e in flagged)
         ]
         assert stripped[did] == expect, did
+
+
+def test_semdedup_matches_bruteforce(spark):
+    import numpy as np
+
+    from getml_community_spark.operators.dedup import semdedup
+
+    rng = np.random.default_rng(11)
+    cent = rng.standard_normal((4, 16))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+
+    # planted clusters: per cluster a few "core" points that are tight
+    # near-dups of each other plus looser unique points
+    vecs, ids = [], []
+    for c in range(4):
+        base = cent[c] + 0.05 * rng.standard_normal(16)
+        for j in range(5):  # near-dup core (tiny noise)
+            vecs.append(base + 0.001 * rng.standard_normal(16))
+            ids.append(c * 100 + j)
+        for j in range(5, 10):  # unique points (big noise)
+            vecs.append(cent[c] + 0.6 * rng.standard_normal(16))
+            ids.append(c * 100 + j)
+    V = np.stack(vecs)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, V)],
+        "vec_id long, embedding array<double>",
+    )
+    eps = 0.05
+    got = semdedup(df, cent.tolist(), eps=eps).toPandas()
+
+    # brute-force reference of the same greedy rule
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    sims = [(max(range(4), key=lambda c: (cos(v, cent[c]), c)),) for v in V]
+    cells = [s[0] for s in sims]
+    csim = [cos(v, cent[c]) for v, c in zip(V, cells)]
+    survivors = set()
+    for i in range(len(V)):
+        dropped = False
+        for j in range(len(V)):
+            if i == j or cells[i] != cells[j]:
+                continue
+            if cos(V[i], V[j]) >= 1 - eps and (
+                (csim[j], ids[j]) < (csim[i], ids[i])
+            ):
+                dropped = True
+                break
+        if not dropped:
+            survivors.add(ids[i])
+
+    assert set(got.vec_id) == survivors
+    # every near-dup core lost members; every planted group kept >= 1
+    for c in range(4):
+        core = {c * 100 + j for j in range(5)}
+        assert 1 <= len(core & survivors) < 5
+    # cell column matches the brute-force assignment
+    cell_by_id = dict(zip(ids, cells))
+    for r in got.itertuples(index=False):
+        assert r.cell == cell_by_id[r.vec_id]
