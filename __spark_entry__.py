@@ -2028,6 +2028,44 @@ def q_token_chunks(spark, sf):
     )
 
 
+def q_bm25(spark, sf):
+    """Okapi BM25 scores for a fixed 3-term query over documents
+    (textstats.bm25_scores). Per-term contributions are micro-quantized
+    longs summed exactly, so the gate compares integers — the
+    lm_perplexity discipline; the oracle replays the Robertson idf and
+    the length normalization with identically-associated arithmetic."""
+    from getml_community_spark.operators.textstats import bm25_scores
+
+    docs = _load(spark, sf, "documents")
+    return bm25_scores(docs, ["scan", "join", "spark"]).select(
+        "doc_id", "score_micro"
+    )
+
+
+def q_text_normalize(spark, sf):
+    """Unicode NFC normalization + control strip + whitespace collapse
+    (operators/textnorm.normalize_text). The testdata text is ASCII, so
+    the query injects a decomposed-é / ﬁ-ligature / superscript-2
+    suffix; NFC composes the é and keeps the compatibility chars —
+    DuckDB's nfc_normalize (utf8proc) replays it, and md5 over the
+    result makes the gate byte-exact without shipping full texts."""
+    from getml_community_spark.operators.textnorm import normalize_text
+
+    docs = _load(spark, sf, "documents")
+    # decomposed e+combining-acute, fi-ligature, superscript-2, a
+    # BEL control char and a double space: all three cleanups fire
+    suffix = " cafe\u0301 \ufb01 \u00b2 x\x07y  z"
+    df = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(suffix)).alias("text")
+    )
+    out = normalize_text(df, strip_control=True, collapse_ws=True)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("h"),
+        F.length("text").cast("long").alias("n"),
+    )
+
+
 def q_simhash_pairs(spark, sf):
     """SimHash near-dup pairs, oracle-exact configuration: md5-derived
     60-bit token hashes (reproducible in SQL, unlike xxhash64) and
@@ -2101,6 +2139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_neardup": q_token_neardup,
         "token_chunks": q_token_chunks,
         "semdedup": q_semdedup,
+        "text_normalize": q_text_normalize,
+        "bm25": q_bm25,
         "exactsubstr_spans": q_exactsubstr_spans,
         "range_rebucket_2h": q_range_rebucket_2h,
         "distinct_hll_1h": q_distinct_hll_1h,
@@ -2401,6 +2441,71 @@ def _ivf_topk_oracle_sql(k: int = 5, n_probe: int = 4) -> str:
                  PARTITION BY query_id ORDER BY score DESC, vec_id ASC
                ) AS INT) AS rank
         FROM scored QUALIFY rank <= {k}
+    """
+
+
+def _bm25_oracle_sql(k1: float = 1.2, b: float = 0.75) -> str:
+    """BM25 with identically-associated double arithmetic: constants
+    are rendered with repr() of the SAME python-computed values the
+    Spark side uses (k1+1.0, 1.0-b), every * and / associates left to
+    right exactly as the Column expression does, and the micro-quantize
+    happens before the (exact, integer) cross-term sum."""
+    terms = "('scan','join','spark')"
+    idf = (
+        "ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)"
+        " / (CAST(dfq.df AS DOUBLE) + 0.5))"
+    )
+    denom = (
+        f"CAST(tf.tf AS DOUBLE) + {k1!r} * ({1.0 - b!r}"
+        f" + {b!r} * CAST(dl.dl AS DOUBLE)"
+        " / (CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE)))"
+    )
+    s = f"{idf} * (CAST(tf.tf AS DOUBLE) * {k1 + 1.0!r}) / ({denom})"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                             x -> x <> '') AS w
+          FROM documents
+        ), dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+        st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+        words AS (SELECT doc_id, unnest(w) AS term FROM toks),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM words
+          WHERE term IN {terms} GROUP BY 1, 2
+        ),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id,
+                 CAST(floor(({s}) * 1000000.0 + 0.5) AS BIGINT) AS m
+          FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN st
+        )
+        SELECT doc_id, CAST(sum(m) AS BIGINT) AS score_micro
+        FROM scored GROUP BY 1
+    """
+
+
+def _text_normalize_oracle_sql() -> str:
+    """nfc_normalize (utf8proc) + the same control/whitespace regexes
+    (Java ∩ RE2, 'g' flag for Spark's replace-all default); the
+    injected suffix is built from chr() so no raw control bytes or
+    combining characters sit in the SQL text."""
+    suffix = (
+        "' cafe' || chr(769) || ' ' || chr(64257) || ' ' || chr(178)"
+        " || ' x' || chr(7) || 'y  z'"
+    )
+    return f"""
+        SELECT doc_id, md5(t2) AS h, CAST(length(t2) AS BIGINT) AS n
+        FROM (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   regexp_replace(
+                     nfc_normalize(text || {suffix}),
+                     '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                   '[ \\t\\n\\r]+', ' ', 'g')) AS t2
+          FROM documents
+        )
     """
 
 
@@ -3792,6 +3897,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": _lsh_topk_oracle_sql(),
         "ivf_topk": _ivf_topk_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(),
+        "text_normalize": _text_normalize_oracle_sql(),
+        "bm25": _bm25_oracle_sql(),
     }
 
 

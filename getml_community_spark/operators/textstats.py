@@ -24,6 +24,7 @@ __all__ = [
     "REPETITION_THRESHOLDS",
     "ngram_contamination",
     "tfidf_topk",
+    "bm25_scores",
 ]
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
@@ -503,4 +504,69 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         quality_score(t).alias("quality"),
         language_id(t).alias("lang_pred"),
         doc_fingerprint(t).alias("fingerprint"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 document scores for a fixed query (Robertson/Lucene
+    idf form: ln(1 + (N - df + 0.5)/(df + 0.5))) — the retrieval-side
+    ranking that completes :func:`tfidf_topk`'s keyword extraction.
+
+    Returns (id, score_micro) for every document containing >= 1 query
+    term. Per-(doc, term) contributions are quantized to micro-units
+    (``floor(x*1e6+0.5)`` longs) BEFORE the cross-term sum, so the
+    result is an exact integer — order-independent across engines and
+    partitionings (the lm_perplexity discipline).
+
+    Scale shape: tokenize → filter to the (broadcast-literal) query
+    terms BEFORE any shuffle, so only matching (id, term) rows move;
+    one (id, term) hash agg; term document-frequencies and the single
+    (N, Σdl) row broadcast back. No windows, no driver collects, no
+    UDFs.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    base = df.select(
+        F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("__w")
+    )
+    dl = base.select("id", F.size("__w").cast("long").alias("__dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__sumdl")
+    )
+    words = base.select("id", F.explode("__w").alias("term")).where(
+        F.col("term").isin(terms)
+    )
+    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("__n").cast("double")
+    avgdl = F.col("__sumdl").cast("double") / nd
+    idf = F.log(
+        F.lit(1.0)
+        + (nd - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / avgdl
+    )
+    s = idf * (tfd * F.lit(k1 + 1.0)) / denom
+    micro = F.floor(s * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        scored.select("id", micro.alias("__m"))
+        .groupBy("id")
+        .agg(F.sum("__m").alias("score_micro"))
+        .select(F.col("id").alias(id_col), "score_micro")
     )

@@ -847,3 +847,86 @@ def test_incremental_changes_replace_semantics(spark, tmp_path):
     # non-ancestor (unknown/expired) base → explicit error
     with pytest.raises((ValueError, FileNotFoundError)):
         t.changes(spark, "deadbeefdeadbeef")
+
+
+def test_rollup_job_incremental_snapshot_input(spark, tmp_path):
+    """RollupJob over a SnapshotTable input: the second run fingerprints
+    ONLY the days touched by the appended delta (changes()-driven), the
+    touched done-days re-roll, and tiers equal a from-scratch job over
+    the same total input."""
+    from pyspark.sql import functions as F
+
+    from getml_community_spark.datagen import corpus_spark
+
+    ing_root = str(tmp_path / "ing")
+    ing = SnapshotTable(ing_root, partition_by=["event_date"])
+    c1 = corpus_spark(spark, 3000, with_tokens=False).withColumn(
+        "event_date", F.to_date("event_time")
+    )
+    ing.append(c1)
+
+    out = str(tmp_path / "out")
+    job1 = RollupJob(spark, RollupSpec(), ing_root, out)
+    assert job1.input_table is not None  # snapshot layout detected
+    s1 = job1.run()
+    assert s1["days_processed"] == s1["days_total"] == 14
+
+    # late data into TWO existing days only
+    days = sorted(
+        str(r[0]) for r in c1.select("event_date").distinct().collect()
+    )
+    touched = days[3:5]
+    c2 = (
+        corpus_spark(spark, 800, with_tokens=False)
+        .withColumn("event_date", F.to_date("event_time"))
+        .where(F.col("event_date").cast("string").isin(touched))
+    )
+    assert c2.count() > 0
+    ing.append(c2)
+
+    job2 = RollupJob(spark, RollupSpec(), ing_root, out)
+    orig = job2._day_stats
+    seen = {}
+
+    def spy(df):
+        seen["fp_days"] = sorted(
+            str(r[0]) for r in df.select("event_date").distinct().collect()
+        )
+        return orig(df)
+
+    job2._day_stats = spy
+    s2 = job2.run()
+    # fingerprint scan covered ONLY the delta's days, and exactly the
+    # two touched (done) days re-rolled
+    assert seen["fp_days"] == touched
+    assert s2["days_processed"] == 2
+    assert s2["days_total"] == 14
+
+    # parity: a from-scratch job over the same total input (plain dir)
+    flat = str(tmp_path / "flat")
+    ing.read(spark).drop("event_date").write.parquet(flat)
+    out2 = str(tmp_path / "out2")
+    job3 = RollupJob(spark, RollupSpec(), flat, out2)
+    assert job3.input_table is None
+    job3.run()
+    for tier in ("1m", "1h"):
+        a = (
+            job2.read_tier(tier)
+            .drop("day")
+            .toPandas()
+            .sort_values(["source", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        b = (
+            job3.read_tier(tier)
+            .drop("day")
+            .toPandas()
+            .sort_values(["source", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        assert len(a) == len(b)
+        assert_frames_equal_unordered(a, b, ["source", "bucket_start"])
+
+    # third run with no new appends: fast path, nothing to do
+    s3 = RollupJob(spark, RollupSpec(), ing_root, out).run()
+    assert s3["days_processed"] == 0

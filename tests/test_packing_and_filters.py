@@ -285,3 +285,48 @@ def test_chunk_tokens_matches_bruteforce(spark):
     for doc_id, toks, _ in rows:
         if toks:
             assert re[doc_id] == toks
+
+
+def test_bm25_scores_match_reference(spark):
+    import math
+
+    from getml_community_spark.operators.textstats import bm25_scores
+
+    docs = [
+        ("d1", "spark scan scan join fast"),
+        ("d2", "join join join slow table"),
+        ("d3", "nothing relevant here at all"),
+        ("d4", "spark"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        r.doc_id: r.score_micro
+        for r in bm25_scores(df, ["spark", "join"]).collect()
+    }
+    assert set(got) == {"d1", "d2", "d4"}  # d3 has no query term
+
+    # reference computation (same formula, same quantization)
+    toks = {d: t.split() for d, t in docs}
+    N = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    k1, b = 1.2, 0.75
+    dfreq = {
+        t: sum(1 for v in toks.values() if t in v) for t in ("spark", "join")
+    }
+    exp = {}
+    for d, v in toks.items():
+        total = 0
+        for t in ("spark", "join"):
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * len(v) / avgdl)
+            )
+            total += math.floor(s * 1e6 + 0.5)
+        if total:
+            exp[d] = total
+    assert got == exp
+    # more query-term mass ranks higher
+    assert got["d2"] > got["d4"]

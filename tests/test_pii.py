@@ -57,3 +57,41 @@ def test_pii_stats_is_shuffle_free(spark):
     df = _df(spark, ["a@b.co"])
     plan = pii_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_normalize_text_forms_and_cleanups(spark):
+    from getml_community_spark.operators.textnorm import normalize_text
+
+    rows = [
+        ("a", "café"),            # NFC composes to café
+        ("b", "café"),             # already composed — unchanged
+        ("c", "ﬁn ²"),        # NFKC folds ﬁ→fi, ²→2
+        ("d", "x\x00y\x07z\x7f"),       # control chars stripped
+        ("e", "a \t b\n\nc"),           # whitespace collapsed
+        ("f", None),                    # NULL passes through
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+
+    nfc = dict(
+        normalize_text(df, collapse_ws=True).select("id", "text").collect()
+    )
+    assert nfc["a"] == nfc["b"] == "café"
+    assert nfc["c"] == "ﬁn ²"  # NFC keeps compatibility chars
+    assert nfc["d"] == "xyz"
+    assert nfc["e"] == "a b c"
+    assert nfc["f"] is None
+
+    nfkc = dict(
+        normalize_text(df, form="NFKC").select("id", "text").collect()
+    )
+    assert nfkc["c"] == "fin 2"
+
+    # out_col keeps the original column intact
+    both = normalize_text(df, out_col="norm").select("id", "text", "norm")
+    r = {x["id"]: x for x in both.collect()}
+    assert r["a"]["text"] == "café" and r["a"]["norm"] == "café"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        normalize_text(df, form="NFX")
