@@ -70,6 +70,11 @@ HEADLINE = [
     "range_rebucket_2h",
     "distinct_hll_1h",
     "exactsubstr_spans",
+    "token_neardup",
+    "token_chunks",
+    "semdedup",
+    "text_normalize",
+    "bm25",
 ]
 
 
