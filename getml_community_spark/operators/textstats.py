@@ -537,14 +537,28 @@ def bm25_scores(
     base = df.select(
         F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("__w")
     )
-    dl = base.select("id", F.size("__w").cast("long").alias("__dl"))
+    # dl is consumed three times (corpus stats, the per-doc join, and
+    # lineage under stats) and self-joins share no subtrees — checkpoint
+    # the SLIM (id, long) frame once so the corpus tokenizes exactly
+    # twice (dl pass + term pass), never per consumer. The token arrays
+    # themselves are never materialized.
+    dl = base.select(
+        "id", F.size("__w").cast("long").alias("__dl")
+    ).localCheckpoint(eager=True)
     stats = dl.agg(
         F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__sumdl")
     )
     words = base.select("id", F.explode("__w").alias("term")).where(
         F.col("term").isin(terms)
     )
-    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the document-frequency agg and the scoring join;
+    # without a barrier each consumer re-runs the tokenize+explode scan
+    # (plan-audited). The frame is tiny: <= len(terms) rows per doc.
+    tf = (
+        words.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
