@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["pack_sequences", "pack_stats", "chunk_tokens"]
+__all__ = ["pack_sequences", "pack_stats", "chunk_tokens", "write_training_shards"]
 
 
 def _pieces(
@@ -238,3 +238,92 @@ def chunk_tokens(
         )
         .where((F.col("chunk_id") == 0) | (F.col("n_tok") >= min_tokens))
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_root: str,
+    ctx_len: int,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    chunks_per_shard: int = 1024,
+    pad_id: int | None = None,
+    drop_last: bool = True,
+) -> dict:
+    """The pipeline's terminal step: pack the tokenized corpus into
+    exact ``ctx_len``-token training examples and write them as
+    deterministic shards into a snapshot-versioned store.
+
+    - examples come from :func:`pack_sequences` (per-source concat-and-
+      chunk; token-array equality invariant);
+    - each source's final short chunk is dropped (``drop_last=True``,
+      the usual pre-training choice) or right-padded with ``pad_id``
+      (``n_tok`` keeps the real length — the attention-mask boundary);
+    - ``shard = chunk_id // chunks_per_shard`` — deterministic,
+      re-runnable, no global counters;
+    - the write is ONE job into a
+      :class:`~getml_community_spark.checkpoint.SnapshotTable`
+      partitioned by (source, shard): atomic manifest commit, time
+      travel, incremental `changes()` downstream, and a trainer can
+      read any (source, shard) subset with manifest-level pruning.
+
+    Returns {"snapshot", "shards", "examples", "tokens"}.
+
+    Scale shape: pack's one window + one group-agg shuffle, then a
+    map-side shard assignment; no extra shuffle (the partitioned write
+    re-sorts within tasks only). Skew: a hot source serializes in
+    pack's per-source prefix-sum window — shard it upstream into
+    deterministic sub-sources (see pack_sequences docstring).
+    """
+    from ..checkpoint import SnapshotTable
+
+    packed = pack_sequences(df, ctx_len, tokens_col, id_col, source_col)
+    if drop_last and pad_id is not None:
+        raise ValueError("choose drop_last OR pad_id, not both")
+    if drop_last:
+        packed = packed.where(F.col("n_tok") == ctx_len)
+    elif pad_id is not None:
+        elem_t = [
+            f.dataType
+            for f in df.schema.fields
+            if f.name == tokens_col
+        ][0].elementType.simpleString()
+        packed = packed.withColumn(
+            "tokens",
+            F.concat(
+                F.col("tokens"),
+                F.array_repeat(
+                    F.lit(pad_id).cast(elem_t),
+                    (ctx_len - F.col("n_tok")).cast("int"),
+                ),
+            ),
+        )
+    shards = packed.withColumn(
+        "shard", (F.col("chunk_id") / chunks_per_shard).cast("long")
+    )
+    table = SnapshotTable(out_root, partition_by=[source_col, "shard"])
+    parent = table.current_snapshot_id()
+    sid = table.append(shards)
+    # report stats for THIS append only (incremental scan), not any
+    # prior shard generations living in the same table
+    written = (
+        table.changes(df.sparkSession, parent)
+        if parent
+        else table.read(df.sparkSession)
+    )
+    stats = (
+        written
+        .agg(
+            F.count(F.lit(1)).alias("examples"),
+            F.sum("n_tok").alias("tokens"),
+            F.countDistinct(source_col, "shard").alias("shards"),
+        )
+        .collect()[0]
+    )
+    return {
+        "snapshot": sid,
+        "shards": int(stats["shards"]),
+        "examples": int(stats["examples"]),
+        "tokens": int(stats["tokens"] or 0),
+    }

@@ -330,3 +330,72 @@ def test_bm25_scores_match_reference(spark):
     assert got == exp
     # more query-term mass ranks higher
     assert got["d2"] > got["d4"]
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from getml_community_spark.checkpoint import SnapshotTable
+    from getml_community_spark.operators.packing import write_training_shards
+
+    rows = []
+    rng = __import__("random").Random(3)
+    tok = 0
+    for i in range(60):
+        n = rng.choice([5, 17, 40, 64, 130])
+        rows.append(
+            (f"d{i:03d}", list(range(tok, tok + n)), f"s{i % 2}")
+        )
+        tok += n
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, source string")
+
+    out = str(tmp_path / "shards")
+    rep = write_training_shards(
+        df, out, ctx_len=64, chunks_per_shard=4, drop_last=True
+    )
+    t = SnapshotTable(out, partition_by=["source", "shard"])
+    back = t.read(spark).toPandas()
+    assert rep["examples"] == len(back) > 0
+    assert rep["tokens"] == 64 * len(back)  # drop_last: all full
+    assert (back.n_tok == 64).all()
+    assert back["tokens"].map(len).eq(64).all()
+    assert rep["shards"] == len(back.groupby(["source", "shard"]))
+
+    # shard assignment deterministic: shard == chunk_id // 4
+    assert (back.shard == back.chunk_id // 4).all()
+
+    # token-array equality through the STORE: per source, flattened
+    # chunks == concatenation of docs' tokens truncated to full chunks
+    for src in ("s0", "s1"):
+        concat = []
+        for doc_id, toks, s in rows:
+            if s == src:
+                concat.extend(toks)
+        got = []
+        for r in (
+            back[back.source == src]
+            .sort_values("chunk_id")
+            .itertuples(index=False)
+        ):
+            got.extend(r.tokens)
+        assert got == concat[: len(concat) - (len(concat) % 64)]
+
+    # padded mode: arrays all ctx_len, pad suffix correct, n_tok real
+    out2 = str(tmp_path / "shards2")
+    rep2 = write_training_shards(
+        df, out2, ctx_len=64, chunks_per_shard=4, drop_last=False, pad_id=-1
+    )
+    back2 = SnapshotTable(out2).read(spark).toPandas()
+    assert back2["tokens"].map(len).eq(64).all()
+    short = back2[back2.n_tok < 64]
+    assert len(short) == 2  # one tail chunk per source
+    for r in short.itertuples(index=False):
+        assert all(t == -1 for t in r.tokens[r.n_tok:])
+    assert rep2["tokens"] == sum(len(t) for _, t, _ in rows)
+
+    # a second append into the same table reports ONLY its own write
+    rep3 = write_training_shards(
+        df, out, ctx_len=64, chunks_per_shard=4, drop_last=True
+    )
+    assert rep3["examples"] == rep["examples"]
+    assert (
+        SnapshotTable(out).read(spark).count() == 2 * rep["examples"]
+    )
