@@ -437,37 +437,54 @@ class SnapshotTable:
         snap = self._load(snapshot_id) if snapshot_id else self.current()
         if snap is None or not snap.entries:
             raise FileNotFoundError(f"no snapshot/data in {self.root}")
+        entries = snap.entries
+        if partition_filter is not None:
+            entries = [e for e in entries if partition_filter(e["partition"])]
+        return self._entries_to_df(spark, entries, snap.entries[0])
+
+    @staticmethod
+    def _entry_df(spark: SparkSession, e: dict):
+        """One manifest entry → DataFrame with its partition columns
+        restored as typed literals."""
+        from pyspark.sql import functions as F
+
+        d = spark.read.parquet(e["path"])
+        types = e.get("types", {})
+        for k, v in e["partition"].items():
+            col = F.lit(v)
+            if k in types:
+                col = col.cast(types[k])
+            d = d.withColumn(k, col)
+        return d
+
+    def _entries_to_df(
+        self, spark: SparkSession, entries: list[dict], fallback_entry: dict
+    ) -> DataFrame:
+        """Union a manifest entry list; an empty list yields an
+        empty-but-typed frame from ``fallback_entry``'s schema. The ONE
+        assembly path for read() and changes() — a typing/evolution fix
+        here fixes both."""
         from functools import reduce
 
         from pyspark.sql import functions as F
 
-        entries = snap.entries
-        if partition_filter is not None:
-            entries = [e for e in entries if partition_filter(e["partition"])]
-            if not entries:
-                # empty-but-typed frame from the first entry's schema
-                d = spark.read.parquet(snap.entries[0]["path"]).where(F.lit(False))
-                types = snap.entries[0].get("types", {})
-                for k, v in snap.entries[0]["partition"].items():
-                    d = d.withColumn(k, F.lit(v).cast(types.get(k, "string")))
-                return d
-        dfs = []
-        for e in entries:
-            d = spark.read.parquet(e["path"])
-            types = e.get("types", {})
-            for k, v in e["partition"].items():
+        if not entries:
+            d = spark.read.parquet(fallback_entry["path"]).where(F.lit(False))
+            types = fallback_entry.get("types", {})
+            for k, v in fallback_entry["partition"].items():
                 col = F.lit(v)
                 if k in types:
                     col = col.cast(types[k])
                 d = d.withColumn(k, col)
-            dfs.append(d)
+            return d
         # allowMissingColumns: additive schema evolution (e.g. the
         # Gorilla chunk-index columns added to an existing segments
         # store) — entries written before the new columns read back with
         # NULLs, like Iceberg schema evolution; consumers must treat
         # NULL metadata as "unknown" (query_segments keeps such rows)
         return reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+            lambda a, b: a.unionByName(b, allowMissingColumns=True),
+            [self._entry_df(spark, e) for e in entries],
         )
 
     def partitions(self, snapshot_id: str | None = None) -> list[dict]:
@@ -513,10 +530,6 @@ class SnapshotTable:
                 f"{from_snapshot_id} is not an ancestor of {target} "
                 "(expired or from another table) — do a full read()"
             )
-        from functools import reduce
-
-        from pyspark.sql import functions as F
-
         parent_paths = {e["path"] for e in self._load(from_snapshot_id).entries}
         new_entries = []
         for snap in reversed(chain):  # oldest→newest, commit order
@@ -534,27 +547,10 @@ class SnapshotTable:
             parent_paths = {e["path"] for e in snap.entries}
         base = chain[0] if chain else self._load(target)
         ref = base.entries or self._load(from_snapshot_id).entries
-        if not new_entries:
-            if not ref:
-                raise FileNotFoundError(f"no data in {self.root}")
-            d = spark.read.parquet(ref[0]["path"]).where(F.lit(False))
-            types = ref[0].get("types", {})
-            for k, v in ref[0]["partition"].items():
-                d = d.withColumn(k, F.lit(v).cast(types.get(k, "string")))
-            return d
-        dfs = []
-        for e in new_entries:
-            d = spark.read.parquet(e["path"])
-            types = e.get("types", {})
-            for k, v in e["partition"].items():
-                col = F.lit(v)
-                if k in types:
-                    col = col.cast(types[k])
-                d = d.withColumn(k, col)
-            dfs.append(d)
-        return reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
-        )
+        if not new_entries and not ref:
+            raise FileNotFoundError(f"no data in {self.root}")
+        fallback = ref[0] if ref else new_entries[0]
+        return self._entries_to_df(spark, new_entries, fallback)
 
 
 class LineageLog:

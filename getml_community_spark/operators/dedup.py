@@ -937,26 +937,40 @@ def semdedup(
             for c, cc in enumerate(cent_cols)
         ]
     )
+    # the assignment expression is n_centroids interpreted higher-order
+    # cosines per row — spread narrow (single-file) inputs across the
+    # cluster first (metadata no-op when already parallel; CLAUDE.md)
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     assigned = df.select(
         F.col(id_col).alias("__id"),
         v.alias("__v"),
         best["c"].alias("cell"),
         best["s"].alias("__csim"),
     )
+    # one materialized pass: the self-join branches don't share
+    # subtrees (no exchange reuse across aliases), and the assignment
+    # expression is wide (n_centroids structs)
+    assigned = assigned.localCheckpoint(eager=True)
     if max_cluster_size is not None:
+        # cap bounds the O(m²) PAIRING set only: overflow rows (highest
+        # centroid-sim beyond the cap, deterministic) skip pairing and
+        # auto-survive — a cap must never delete corpus rows
         from pyspark.sql import Window
 
         rn = F.row_number().over(
             Window.partitionBy("cell").orderBy("__csim", "__id")
         )
-        assigned = assigned.withColumn("__rn", rn).where(
-            F.col("__rn") <= max_cluster_size
-        ).drop("__rn")
-    # one materialized pass: the self-join branches don't share
-    # subtrees (no exchange reuse across aliases), and the assignment
-    # expression is wide (n_centroids structs)
-    assigned = assigned.localCheckpoint(eager=True)
-    a, b = assigned.alias("a"), assigned.alias("b")
+        pairing = (
+            assigned.withColumn("__rn", rn)
+            .where(F.col("__rn") <= max_cluster_size)
+            .drop("__rn")
+        )
+    else:
+        pairing = assigned
+    a, b = pairing.alias("a"), pairing.alias("b")
     higher_priority = (F.col("b.__csim") < F.col("a.__csim")) | (
         (F.col("b.__csim") == F.col("a.__csim"))
         & (F.col("b.__id") < F.col("a.__id"))

@@ -209,7 +209,7 @@ def chunk_tokens(
     passthrough = [
         c
         for c in df.columns
-        if c not in (tokens_col, "chunk_id", "chunk_start", "n_tok")
+        if c not in (tokens_col, "chunk_id", "chunk_start", "n_tok", "tokens")
     ]
     ex = df.select(
         *passthrough,

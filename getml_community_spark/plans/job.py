@@ -89,9 +89,15 @@ class RollupJob:
         )
 
     # ------------------------------------------------------------ #
-    def _input(self) -> DataFrame:
-        if self.input_table is not None and self.input_table.current_snapshot_id():
-            df = self.input_table.read(self.spark)
+    def _input(self, snapshot_id: str | None = None) -> DataFrame:
+        """``snapshot_id`` (snapshot-table inputs only) pins the read to
+        one manifest version so data, fingerprints and the recorded
+        input snapshot are consistent even while a streaming writer
+        commits concurrently."""
+        if self.input_table is not None and (
+            snapshot_id or self.input_table.current_snapshot_id()
+        ):
+            df = self.input_table.read(self.spark, snapshot_id=snapshot_id)
         else:
             # drop Spark's shared file-status cache for the path:
             # late-data appends since the last read of this path would
@@ -126,7 +132,9 @@ class RollupJob:
                     h.update(f"{p}:{os.path.getsize(p)}".encode())
         return h.hexdigest()[:16]
 
-    def _refresh_day_stats(self, inp: DataFrame, last: dict | None):
+    def _refresh_day_stats(
+        self, inp: DataFrame, last: dict | None, in_snap: str | None = None
+    ):
         """(day_stats, fps, all_days) for a CHANGED input snapshot.
 
         Snapshot-table inputs whose recorded snapshot is still an
@@ -148,7 +156,9 @@ class RollupJob:
             and last.get("fps") is not None
         ):
             try:
-                delta = self.input_table.changes(self.spark, last["snapshot"])
+                delta = self.input_table.changes(
+                    self.spark, last["snapshot"], to_snapshot_id=in_snap
+                )
                 if "event_date" not in delta.columns:
                     delta = delta.withColumn(
                         "event_date", F.to_date(self.spec.ts_col)
@@ -157,20 +167,19 @@ class RollupJob:
                     str(r[0])
                     for r in delta.select("event_date").distinct().collect()
                 )
-                part_days = {
-                    p.get("day", p.get("event_date"))
-                    for p in self.input_table.partitions()
-                }
-                if part_days and None not in part_days:
-                    all_days = sorted(str(d) for d in part_days)
-                else:
-                    all_days = [
-                        str(r[0])
-                        for r in inp.select("event_date")
-                        .distinct()
-                        .orderBy("event_date")
-                        .collect()
-                    ]
+                # all_days always comes from the DATA (one column-pruned
+                # distinct scan — the same cost the unchanged-snapshot
+                # fast path already pays): partition VALUES may be any
+                # rendering/column and silently diverging from
+                # str(event_date) would misclassify re-roll days
+                # (round-5 review)
+                all_days = [
+                    str(r[0])
+                    for r in inp.select("event_date")
+                    .distinct()
+                    .orderBy("event_date")
+                    .collect()
+                ]
                 new_stats = (
                     self._day_stats(
                         inp.where(F.col("event_date").isin(touched))
@@ -185,8 +194,11 @@ class RollupJob:
                 }
                 fps.update({d: [s[0], s[1]] for d, s in new_stats.items()})
                 return new_stats, fps, all_days
-            except (ValueError, FileNotFoundError):
-                pass  # broken chain — full rescan below
+            except Exception:  # noqa: BLE001 — any broken-chain shape
+                # (non-ancestor ValueError, expired dirs surfacing as
+                # AnalysisException from the delta read, ...): the full
+                # one-scan fingerprint below is always a safe fallback
+                pass
         day_stats = self._day_stats(inp)
         return (
             day_stats,
@@ -374,8 +386,24 @@ class RollupJob:
         all); returns a summary. Call again to resume/finish."""
         spec, spark = self.spec, self.spark
         t0 = time.time()
-        inp = self._input()
+        # resolve the input snapshot FIRST and pin every read to it:
+        # a streaming writer committing between "read data" and "record
+        # snapshot" must not let fps recorded under the new id describe
+        # the old data (round-5 review — the gap batch would never roll)
         in_snap = self.input_snapshot_id()
+        import os as _os
+
+        pin = (
+            in_snap
+            if self.input_table is not None
+            and _os.path.exists(
+                _os.path.join(
+                    self.input_table.root, "snapshots", f"{in_snap}.json"
+                )
+            )
+            else None  # plain-dir input, or empty table (file-walk id)
+        )
+        inp = self._input(snapshot_id=pin)
         spec_hash = spec.spec_hash()
 
         # ---- late-data detection (round-1 ADVICE, medium) ----
@@ -395,7 +423,9 @@ class RollupJob:
                 for r in inp.select("event_date").distinct().orderBy("event_date").collect()
             ]
         else:
-            day_stats, fps, all_days = self._refresh_day_stats(inp, last)
+            day_stats, fps, all_days = self._refresh_day_stats(
+                inp, last, in_snap=pin
+            )
         done = self._reconcile_done(input_days=set(all_days))
         if day_stats is not None and last is not None:
             # only INPUT-PRESENT days can be "changed" (round-5 review):

@@ -36,6 +36,10 @@ __all__ = [
     "stream_anomaly",
     "stream_cusum",
     "stream_sessions",
+    "stream_into_snapshot",
+    "stream_raw_into_snapshot",
+    "stream_hist",
+    "stream_distinct",
 ]
 
 
@@ -572,4 +576,44 @@ def stream_corpus_reader(spark, path: str) -> DataFrame:
         spark.readStream.schema(CORPUS_SCHEMA + ", event_date date")
         .option("maxFilesPerTrigger", 64)
         .parquet(path)
+    )
+
+
+def stream_raw_into_snapshot(
+    raw_stream: DataFrame,
+    table,
+    checkpoint_dir: str,
+    stream_key: str = "raw",
+    ts_col: str = "event_time",
+    partition_col: str = "event_date",
+):
+    """Land RAW corpus rows (the input_hint shape: doc_id, tokens,
+    n_tok, source, event_time) into a durable :class:`SnapshotTable`,
+    exactly-once — the ingest half of the streaming→batch handoff whose
+    batch half is :class:`~..plans.job.RollupJob` over the same table:
+    the job detects the snapshot layout, and each run fingerprints only
+    the days the appended delta touched (``changes()``-bounded
+    incremental reconcile).
+
+    Unlike :func:`stream_into_snapshot` (closed TIER buckets), raw rows
+    need no watermark/window — every micro-batch appends verbatim, with
+    a ``partition_col`` day column added for the table's day
+    partitioning; exactly-once comes from the manifest-commit batch
+    registry. Token arrays pass through untouched (the per-row
+    token-array-equality invariant holds through the store —
+    pytest-asserted).
+
+    Returns the DataStreamWriter — caller picks the trigger and calls
+    ``.start()``.
+    """
+
+    def _write(bdf: DataFrame, batch_id: int) -> None:
+        if partition_col and partition_col not in bdf.columns:
+            bdf = bdf.withColumn(partition_col, F.to_date(ts_col))
+        if bdf.isEmpty():
+            return
+        table.append(bdf, stream_key=stream_key, batch_id=batch_id)
+
+    return raw_stream.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint_dir
     )

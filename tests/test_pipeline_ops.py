@@ -722,3 +722,25 @@ def test_semdedup_matches_bruteforce(spark):
     cell_by_id = dict(zip(ids, cells))
     for r in got.itertuples(index=False):
         assert r.cell == cell_by_id[r.vec_id]
+
+
+def test_semdedup_cap_never_deletes_overflow_rows(spark):
+    import numpy as np
+
+    from getml_community_spark.operators.dedup import semdedup
+
+    rng = np.random.default_rng(5)
+    cent = rng.standard_normal((2, 8))
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    # 30 unique points near centroid 0 (no near-dups at eps=0.01)
+    V = cent[0] + 0.4 * rng.standard_normal((30, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    )
+    uncapped = semdedup(df, cent.tolist(), eps=0.01)
+    capped = semdedup(df, cent.tolist(), eps=0.01, max_cluster_size=5)
+    # no near-dups → everything survives, capped or not: the cap bounds
+    # the pairing set, it must never delete corpus rows
+    assert uncapped.count() == 30
+    assert capped.count() == 30

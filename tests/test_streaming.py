@@ -693,3 +693,96 @@ def test_stream_rollup_into_snapshot_store_restartable(spark, tmp_path):
         batch["bucket_start"].map(lambda t: t.timestamp() + 60) < wm - 60
     ]
     assert len(got) >= len(closed)
+
+
+def test_stream_raw_ingest_feeds_incremental_rollup_job(spark, tmp_path):
+    """The full streaming→batch handoff: raw corpus rows stream
+    exactly-once into a SnapshotTable (token arrays untouched), the
+    incremental RollupJob catches up on each new snapshot fingerprinting
+    only the delta's days, and the final tiers equal a from-scratch
+    batch job over the same rows."""
+    import os
+    import shutil
+
+    from getml_community_spark.checkpoint import SnapshotTable
+    from getml_community_spark.datagen import write_corpus_parquet
+    from getml_community_spark.plans import RollupJob, RollupSpec
+    from getml_community_spark.streaming.stream_rollup import (
+        stream_corpus_reader,
+        stream_raw_into_snapshot,
+    )
+
+    from .conftest import assert_frames_equal_unordered
+
+    full = str(tmp_path / "full")
+    write_corpus_parquet(spark, 2500, full, with_tokens=True)
+    src = str(tmp_path / "src")
+    held = str(tmp_path / "held")
+    shutil.copytree(full, src)
+    os.makedirs(held)
+    days = sorted(d for d in os.listdir(src) if d.startswith("event_date="))
+    for d in days[9:]:
+        shutil.move(f"{src}/{d}", f"{held}/{d}")
+
+    ing = SnapshotTable(str(tmp_path / "raw_ing"), partition_by=["event_date"])
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            stream_raw_into_snapshot(
+                stream_corpus_reader(spark, src), ing, ckpt
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    # token arrays pass through the store bit-equal (per-row invariant)
+    stored = ing.read(spark).select("doc_id", "tokens").toPandas()
+    orig = (
+        spark.read.parquet(src).select("doc_id", "tokens").toPandas()
+    )
+    s = stored.sort_values("doc_id").reset_index(drop=True)
+    o = orig.sort_values("doc_id").reset_index(drop=True)
+    assert len(s) == len(o)
+    assert all(list(a) == list(b) for a, b in zip(s.tokens, o.tokens))
+
+    out = str(tmp_path / "out")
+    job = RollupJob(spark, RollupSpec(), ing.root, out)
+    s1 = job.run()
+    assert s1["days_processed"] == s1["days_total"] > 0
+
+    # more stream input arrives; drain and catch up incrementally
+    for d in days[9:]:
+        shutil.move(f"{held}/{d}", f"{src}/{d}")
+    spark.catalog.refreshByPath(src)
+    drain()
+    job2 = RollupJob(spark, RollupSpec(), ing.root, out)
+    seen = {}
+    orig_ds = job2._day_stats
+
+    def _spy(df):
+        seen["n_days"] = df.select("event_date").distinct().count()
+        return orig_ds(df)
+
+    job2._day_stats = _spy
+    s2 = job2.run()
+    assert s2["days_processed"] > 0
+    # the fingerprint scan covered only the delta's days, not all 14
+    assert seen["n_days"] < s2["days_total"]
+
+    # parity vs from-scratch batch job over the full corpus
+    out2 = str(tmp_path / "out2")
+    job3 = RollupJob(spark, RollupSpec(), src, out2)
+    job3.run()
+    for tier in ("1m", "1d"):
+        a = (
+            job2.read_tier(tier).drop("day").toPandas()
+            .sort_values(["source", "bucket_start"]).reset_index(drop=True)
+        )
+        b = (
+            job3.read_tier(tier).drop("day").toPandas()
+            .sort_values(["source", "bucket_start"]).reset_index(drop=True)
+        )
+        assert_frames_equal_unordered(a, b, ["source", "bucket_start"])
