@@ -167,19 +167,29 @@ class RollupJob:
                     str(r[0])
                     for r in delta.select("event_date").distinct().collect()
                 )
-                # all_days always comes from the DATA (one column-pruned
-                # distinct scan — the same cost the unchanged-snapshot
-                # fast path already pays): partition VALUES may be any
-                # rendering/column and silently diverging from
-                # str(event_date) would misclassify re-roll days
-                # (round-5 review)
-                all_days = [
-                    str(r[0])
-                    for r in inp.select("event_date")
-                    .distinct()
-                    .orderBy("event_date")
-                    .collect()
-                ]
+                # all_days from the MANIFEST iff the table is partitioned
+                # by event_date ITSELF: read() restores the event_date
+                # column from those partition values, so distinct column
+                # values == distinct manifest values BY CONSTRUCTION and
+                # the day list costs zero scans — the piece that keeps
+                # reconcile O(delta) instead of O(table) at 10^12 rows.
+                # Any other partition key (arbitrary "day" renderings —
+                # round-5 review) or an unpartitioned table falls back
+                # to one column-pruned distinct scan.
+                parts = self.input_table.partitions(in_snap)
+                if parts and all(
+                    set(p) == {"event_date"} and p["event_date"] is not None
+                    for p in parts
+                ):
+                    all_days = sorted({str(p["event_date"]) for p in parts})
+                else:
+                    all_days = [
+                        str(r[0])
+                        for r in inp.select("event_date")
+                        .distinct()
+                        .orderBy("event_date")
+                        .collect()
+                    ]
                 new_stats = (
                     self._day_stats(
                         inp.where(F.col("event_date").isin(touched))
