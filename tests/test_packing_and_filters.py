@@ -399,3 +399,101 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     assert (
         SnapshotTable(out).read(spark).count() == 2 * rep["examples"]
     )
+
+
+def _naive_bpe(word_counts, num_merges):
+    """Recount-everything reference (same conventions as train_bpe:
+    zip pair counts, lexicographic tie-break, left-to-right
+    non-overlapping merges)."""
+    from collections import Counter
+
+    from getml_community_spark.operators.bpe import _merge_word
+
+    words = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items() if w}
+    merges = []
+    for _ in range(num_merges):
+        stats = Counter()
+        for w, c in words.items():
+            for p in zip(w, w[1:]):
+                stats[p] += c
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if stats[best] <= 0:
+            break
+        merges.append(best)
+        words = {
+            _merge_word(w, best): c for w, c in words.items()
+        }
+    return merges
+
+
+def test_bpe_train_matches_naive_reference_and_paper_example():
+    import random
+
+    from getml_community_spark.operators.bpe import (
+        bpe_segment_word,
+        train_bpe_from_counts,
+    )
+
+    # Sennrich et al. 2016 toy corpus: the first merges fuse the
+    # frequent suffixes (tie-breaks are ours, but 'es'/'est' fusion
+    # must appear among the first merges)
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe_from_counts(wc, 6)
+    assert ("e", "s") in merges and ("es", "t") in merges
+
+    # incremental trainer == recount-everything reference on random
+    # corpora (same conventions)
+    rng = random.Random(9)
+    alphabet = "abcd"
+    for trial in range(5):
+        wc = {
+            "".join(
+                rng.choice(alphabet)
+                for _ in range(rng.randint(1, 6))
+            ): rng.randint(1, 20)
+            for _ in range(40)
+        }
+        assert train_bpe_from_counts(wc, 15) == _naive_bpe(wc, 15)
+
+    # segmentation preserves the word (concat of pieces == word + </w>)
+    ranks = {tuple(p): i for i, p in enumerate(train_bpe_from_counts(wc, 15))}
+    for w in wc:
+        pieces = bpe_segment_word(w, ranks)
+        assert "".join(pieces) == w + "</w>"
+
+
+def test_apply_bpe_spark_matches_driver_segmentation(spark):
+    from getml_community_spark.operators.bpe import (
+        apply_bpe,
+        bpe_segment_word,
+        train_bpe,
+    )
+
+    rows = [
+        ("a", "the lowest low rates, the newest widest views!"),
+        ("b", "lower and lower, newest of the new"),
+        ("c", ""),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    merges = train_bpe(df, num_merges=30)
+    assert merges  # trained something
+    got = {r.id: r.pieces for r in apply_bpe(df, merges).collect()}
+
+    import re
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for rid, text in rows:
+        if text is None:
+            assert got[rid] is None
+            continue
+        exp = []
+        for w in re.split(r"[^a-z0-9']+", text.lower()):
+            if w:
+                exp.extend(bpe_segment_word(w, ranks))
+        assert list(got[rid]) == exp
+    # round-trip: pieces concat per doc == the tokenized words + </w>
+    joined = "".join(got["a"])
+    assert joined.count("</w>") == 8  # eight words in doc a
