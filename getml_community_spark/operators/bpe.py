@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["train_bpe", "apply_bpe", "bpe_segment_word"]
+__all__ = ["train_bpe", "apply_bpe", "apply_bpe_ids", "bpe_vocab", "bpe_segment_word"]
 
 _EOW = "</w>"
 
@@ -170,3 +170,66 @@ def apply_bpe(
         return texts.map(seg)
 
     return df.withColumn(out_col, _bpe(F.col(text_col)))
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic piece→id table for a trained merge list: base
+    symbols (the merges' constituent characters + the end-of-word
+    marker) in sorted order, then one new symbol per merge in merge
+    order — the id space every apply_bpe(ids=True) run shares."""
+    base = {_EOW}
+    for a, b in merges:
+        for s in (a, b):
+            if len(s) == 1:
+                base.add(s)
+    vocab = {s: i for i, s in enumerate(sorted(base))}
+    for a, b in merges:
+        piece = a + b
+        if piece not in vocab:
+            vocab[piece] = len(vocab)
+    return vocab
+
+
+def apply_bpe_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "tokens",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Tokenize straight to ``array<int>`` token ids (the input_hint
+    payload) using :func:`bpe_vocab`'s deterministic id table; pieces
+    outside the vocab (characters never seen in any merge — possible on
+    unseen text) map to ``unk_id``. Same map-only Arrow-batched shape
+    as :func:`apply_bpe`."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+
+    @pandas_udf("array<int>")
+    def _ids(texts):
+        import re
+
+        tok = re.compile(r"[^a-z0-9']+")
+        cache: dict[str, list[int]] = {}
+
+        def seg(text):
+            if text is None:
+                return None
+            out = []
+            for w in tok.split(text.lower()):
+                if not w:
+                    continue
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = [
+                        vocab.get(p, unk_id)
+                        for p in bpe_segment_word(w, ranks)
+                    ]
+                out.extend(got)
+            return out
+
+        return texts.map(seg)
+
+    return df.withColumn(out_col, _ids(F.col(text_col)))

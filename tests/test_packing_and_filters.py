@@ -497,3 +497,28 @@ def test_apply_bpe_spark_matches_driver_segmentation(spark):
     # round-trip: pieces concat per doc == the tokenized words + </w>
     joined = "".join(got["a"])
     assert joined.count("</w>") == 8  # eight words in doc a
+
+
+def test_apply_bpe_ids_roundtrip(spark):
+    from getml_community_spark.operators.bpe import (
+        apply_bpe,
+        apply_bpe_ids,
+        bpe_vocab,
+        train_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "low lower lowest newest new widest wide the the the")],
+        "id string, text string",
+    )
+    merges = train_bpe(df, num_merges=25)
+    vocab = bpe_vocab(merges)
+    inv = {i: p for p, i in vocab.items()}
+    pieces = apply_bpe(df, merges).collect()[0].pieces
+    ids = apply_bpe_ids(df, merges).collect()[0].tokens
+    assert len(ids) == len(pieces)
+    # ids decode back to the exact piece sequence (none unk here: all
+    # chars of this corpus appear in merge sides)
+    assert [inv.get(i, "<unk>") for i in ids] == list(pieces)
+    # id space: contiguous, merges after base symbols, deterministic
+    assert sorted(vocab.values()) == list(range(len(vocab)))
