@@ -522,3 +522,36 @@ def test_apply_bpe_ids_roundtrip(spark):
     assert [inv.get(i, "<unk>") for i in ids] == list(pieces)
     # id space: contiguous, merges after base symbols, deterministic
     assert sorted(vocab.values()) == list(range(len(vocab)))
+
+
+# ---- property-based fuzz (hypothesis, driver-only) ------------------ #
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _wc = st.dictionaries(
+        st.text(alphabet="abcde'", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(_wc, st.integers(min_value=1, max_value=25))
+    def test_bpe_trainer_fuzz(wc, n_merges):
+        """Incremental-pair-stat trainer == recount-everything reference
+        for arbitrary word-frequency tables (apostrophes, repeats,
+        single chars included), and every trained segmentation
+        reconstructs its word exactly."""
+        from getml_community_spark.operators.bpe import (
+            bpe_segment_word,
+            train_bpe_from_counts,
+        )
+
+        merges = train_bpe_from_counts(wc, n_merges)
+        assert merges == _naive_bpe(wc, n_merges)
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+        for w in wc:
+            assert "".join(bpe_segment_word(w, ranks)) == w + "</w>"
+
+except ImportError:  # pragma: no cover — hypothesis not installed
+    pass
