@@ -153,16 +153,35 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
 
     @pandas_udf("array<long>")
     def _sig(base):  # pd.Series -> pd.Series (annotations break under local import)
-        out = []
-        with np.errstate(over="ignore"):
-            for arr in base:
-                h = np.asarray(arr, dtype=np.int64).view(np.uint64)
-                if len(h) == 0:
-                    out.append(np.zeros(num_hashes, dtype=np.int64))
-                    continue
-                m = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
-                out.append(m.view(np.int64))
-        return pd.Series(out)
+        # Vectorized across the WHOLE Arrow batch (guide §4.2): flatten
+        # every row's shingle hashes into one array, apply each family
+        # member to the flat array, and segment-minimize with
+        # minimum.reduceat at row offsets. Identical values to the
+        # per-row outer product (same multiplies, same mins — exact),
+        # but one numpy pass per family instead of one (num_hashes x
+        # n_shingles) allocation per row.
+        n = len(base)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        arrs = [np.asarray(x, dtype=np.int64) for x in base]
+        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n)
+        sigs = np.zeros((n, num_hashes), dtype=np.uint64)
+        nonempty = lens > 0
+        if nonempty.any():
+            flat = (
+                np.concatenate([x for x in arrs if len(x)]).view(np.uint64)
+            )
+            ne_lens = lens[nonempty]
+            offsets = np.zeros(len(ne_lens), dtype=np.int64)
+            np.cumsum(ne_lens[:-1], out=offsets[1:])
+            mins = np.empty((int(nonempty.sum()), num_hashes), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for i in range(num_hashes):
+                    hv = a[i] * flat + b[i]
+                    mins[:, i] = np.minimum.reduceat(hv, offsets)
+            sigs[nonempty] = mins
+        out = sigs.view(np.int64)
+        return pd.Series(list(out))
 
     base = F.transform(shingle_col, lambda s: F.xxhash64(s))
     return _sig(base)
@@ -467,6 +486,10 @@ def duplicated_token_spans(
         toks_int = F.transform(toks, lambda t: F.xxhash64(t))
     else:
         toks_int = F.transform(toks, lambda t: t.cast("long"))
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)  # spread the (interpreted) tokenize
     pos = (
         df.where(F.size(toks) >= k)
         .select(
@@ -474,6 +497,13 @@ def duplicated_token_spans(
             F.posexplode(_rolling_window_hashes(k)(toks_int)).alias("pos", "h"),
         )
     )
+    # pos feeds BOTH the global hash count and the semi-join, and the
+    # branches share no subtree (no exchange reuse across aliases —
+    # CLAUDE.md): without a barrier the tokenize + rolling-hash UDF pass
+    # runs twice per action. The frame is three longs per token
+    # position — slim enough to checkpoint at any scale that fits the
+    # shuffle anyway.
+    pos = pos.localCheckpoint(eager=False)
     counts = pos.groupBy("h").agg(F.count(F.lit(1)).alias("__c"))
     dup = (
         pos.join(counts.where(F.col("__c") >= min_count), "h", "left_semi")
