@@ -295,16 +295,30 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size)
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
+    # Bucket-collision pairs via ONE groupBy instead of a self-join: a
+    # self-join shuffles the banded table TWICE (both sides hash to the
+    # join key); collect_list moves it once and the i<j pair expansion
+    # runs on the collected per-bucket id list (bucket sizes are capped
+    # / tiny, so the quadratic expansion is local and bounded). Same
+    # pair set as the join — verified by the oracle gate.
+    ids_sorted = F.array_sort(F.collect_list("id"))
+    bucket_ids = (
+        banded.groupBy("band", "bucket")
+        .agg(ids_sorted.alias("__ids"))
+        .where(F.size("__ids") >= 2)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+    cand = (
+        bucket_ids.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     sa = sig_tbl.select(F.col("id").alias("id_a"), F.col("sig").alias("__sig_a"))
@@ -389,16 +403,20 @@ def token_minhash_pairs(
     b = sh_tbl.select(F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
     union = F.size(F.array_union("__sh_a", "__sh_b"))
-    return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "est_jaccard",
-            (inter.cast("double") / union.cast("double")).alias("exact_jaccard"),
-        )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    # spread the small candidate frame before the per-pair set ops (AQE
+    # coalesces it to one partition otherwise — the verified-pairs fix)
+    joined = joined.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    out = joined.select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        (inter.cast("double") / union.cast("double")).alias("exact_jaccard"),
     )
+    # lazy barrier, same reason as minhash_lsh_pairs_verified: callers
+    # filter on exact_jaccard, and filter pushdown would re-run the
+    # array set ops below the repartition on one partition
+    return out.localCheckpoint(eager=False)
 
 
 def _rolling_window_hashes(k: int):
@@ -570,17 +588,25 @@ def minhash_lsh_pairs_verified(
     ).select("id_a", "id_b")
     ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__txt_a"))
     tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__txt_b"))
-    return (
-        cand.join(ta, "id_a")
-        .join(tb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            ngram_jaccard(F.col("__txt_a"), F.col("__txt_b"), shingle_n).alias(
-                "jaccard"
-            ),
-        )
+    joined = cand.join(ta, "id_a").join(tb, "id_b")
+    # Spread the candidate pairs BEFORE the per-pair exact Jaccard: AQE
+    # coalesces the small candidate frame to one partition, and the
+    # double tokenize inside ngram_jaccard is interpreted — measured
+    # 12 s single-core for ~2.5k pairs at sf1.0 vs <1 s spread.
+    joined = joined.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    out = joined.select(
+        "id_a",
+        "id_b",
+        ngram_jaccard(F.col("__txt_a"), F.col("__txt_b"), shingle_n).alias(
+            "jaccard"
+        ),
     )
+    # lazy barrier: a caller's filter on `jaccard` would otherwise be
+    # pushed below the repartition, re-evaluating the interpreted
+    # double-tokenize once in the (single-partition) filter and again
+    # in the projection (measured: +8 s in minhash_lsh_dedup). The
+    # frame is candidates-only — tiny at any scale.
+    return out.localCheckpoint(eager=False)
 
 
 def minhash_lsh_dedup(
@@ -1000,21 +1026,61 @@ def semdedup(
         )
     else:
         pairing = assigned
-    a, b = pairing.alias("a"), pairing.alias("b")
-    higher_priority = (F.col("b.__csim") < F.col("a.__csim")) | (
-        (F.col("b.__csim") == F.col("a.__csim"))
-        & (F.col("b.__id") < F.col("a.__id"))
-    )
-    losers = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.__id") != F.col("b.__id"))
-            & higher_priority
-            & (cosine(F.col("a.__v"), F.col("b.__v")) >= 1.0 - eps),
-        )
-        .select(F.col("a.__id").alias("__loser"))
-        .distinct()
+    # Within-cell pairing as a grouped numpy kernel instead of a
+    # self-join with the cosine in the join condition: the join
+    # evaluated an INTERPRETED d-dim cosine expression per candidate
+    # pair (Σ m_c² pairs — measured 1.6e9 interpreted ops / ~20 s at
+    # sf1.0) and shuffled every vector twice (both join aliases). The
+    # kernel shuffles each vector once (one groupBy on cell) and
+    # replicates the JVM expression's arithmetic EXACTLY — left-to-right
+    # fold over dimensions for dot and norms, multiply-then-divide, the
+    # same zero-norm guard — so every cosine is bit-identical to the
+    # join's and the survivor set is unchanged (oracle-gated). Row
+    # blocks bound the pairwise working set; per-cell cost is the same
+    # Σ m_c² the join paid, at numpy speed.
+    import pandas as pd
+
+    thr = 1.0 - eps
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _losers_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"__loser": pdf["__id"].iloc[:0]})
+        order = np.lexsort((pdf["__id"].to_numpy(), pdf["__csim"].to_numpy()))
+        V = np.stack(pdf["__v"].to_numpy())[order]
+        ids = pdf["__id"].to_numpy()[order]
+        d = V.shape[1]
+        # norms: sqrt of the left-to-right fold of v*v (products in the
+        # input dtype, accumulation in float64 — matches Spark's
+        # aggregate(double acc + elem))
+        nsq = np.zeros(m, dtype=np.float64)
+        for k in range(d):
+            nsq += V[:, k] * V[:, k]
+        na = np.sqrt(nsq)
+        zero = na == 0.0
+        loser = np.zeros(m, dtype=bool)
+        B = 1024
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for s0 in range(0, m, B):
+                s1 = min(s0 + B, m)
+                acc = np.zeros((s1 - s0, m), dtype=np.float64)
+                for k in range(d):
+                    acc += V[s0:s1, k][:, None] * V[:, k][None, :]
+                denom = na[s0:s1][:, None] * na[None, :]
+                cos = acc / denom
+                cos[zero[s0:s1], :] = 0.0
+                cos[:, zero] = 0.0
+                hit = cos >= thr
+                # only strictly-higher-priority partners count: partner
+                # index j < global row index g in the (csim, id) order
+                jj = np.arange(m)[None, :]
+                gg = (s0 + np.arange(s1 - s0))[:, None]
+                loser[s0:s1] = (hit & (jj < gg)).any(axis=1)
+        return pd.DataFrame({"__loser": ids[loser]})
+
+    losers = pairing.groupBy("cell").applyInPandas(
+        _losers_kernel, schema=f"__loser {id_type}"
     )
     keep = assigned.join(
         losers, assigned["__id"] == losers["__loser"], "left_anti"

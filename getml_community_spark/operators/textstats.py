@@ -210,77 +210,79 @@ def repetition_stats(
         ws.alias("__ws"),
         F.length(F.array_join(ws, " ")).cast("long").alias("__chars"),
     )
-    # one exploded stream of (id, n, gram, gram_chars) for all nine n
-    gram_arrays = F.concat(
-        *[
-            F.expr(
-                f"CASE WHEN size(__ws) >= {n} THEN "
-                f"transform(sequence(1, size(__ws) - {n - 1}), "
-                f"i -> struct({n} AS n, "
-                f"concat_ws(' ', slice(__ws, i, {n})) AS gram)) "
-                f"ELSE array() END"
-            )
-            for n in thresholds
-        ]
+    # Per-doc gram counting is DOC-LOCAL: the previous shape exploded
+    # one (id, n, gram) STRING row per position for all nine n (~9 x
+    # n_words rows per doc) and shuffled them twice (count agg + per-n
+    # roll-up) — at sf1.0 a ~20M-row string shuffle measured ~16 s.
+    # An Arrow-batched kernel computes the identical integers with
+    # ZERO shuffles: exact Counter counts per gram string, dup =
+    # Σ c·len(gram) over c>=2, top = cov of max (c, cov, gram) —
+    # the same lexicographic tie-break (ASCII grams: Python string
+    # order == Spark UTF8 binary order). Missing n (doc shorter than
+    # n) stays 0, matching the old coalesce(left-join) path.
+    import pandas as pd
+
+    ns = list(thresholds)
+    fields = ", ".join(
+        [f"id {df.schema[id_col].dataType.simpleString()}", "__chars long"]
+        + [f"__v{n} long" for n in ns]
     )
-    grams = (
-        base.select("id", "__chars", F.explode(gram_arrays).alias("g"))
-        .select("id", "__chars", "g.n", "g.gram")
-    )
-    counts = grams.groupBy("id", "__chars", "n", "gram").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    covered = F.col("__c") * F.length("gram")
-    dup_covered = F.when(F.col("__c") >= 2, covered).otherwise(F.lit(0))
-    # top gram = argmax by COUNT (Gopher/DataTrove), not by covered
-    # chars — a longer-but-rarer gram must not win. Lexicographic
-    # struct max gives the deterministic tie-break (count, covered,
-    # gram); the count>=2 guard nulls out non-repeated grams.
-    top_struct = F.max(
-        F.when(
-            F.col("__c") >= 2,
-            F.struct(
-                F.col("__c").alias("c"),
-                covered.alias("cov"),
-                F.col("gram").alias("g"),
-            ),
-        )
-    )
-    per_n = counts.groupBy("id", "__chars", "n").agg(
-        top_struct.alias("__topst"),
-        F.sum(dup_covered).alias("__dup"),
-    ).select(
-        "id",
-        "__chars",
-        "n",
-        F.coalesce(F.col("__topst.cov"), F.lit(0)).alias("__top"),
-        "__dup",
-    )
+
+    def _gram_kernel(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            rows = {"id": pdf["id"], "__chars": pdf["__chars"]}
+            vals = {n: [] for n in ns}
+            for words in pdf["__ws"]:
+                wl = list(words)
+                W = len(wl)
+                for n in ns:
+                    if W < n:
+                        vals[n].append(0)
+                        continue
+                    cnt = Counter(
+                        " ".join(wl[i : i + n]) for i in range(W - n + 1)
+                    )
+                    dup = 0
+                    best = None
+                    for g, c in cnt.items():
+                        if c >= 2:
+                            cov = c * len(g)
+                            dup += cov
+                            key = (c, cov, g)
+                            if best is None or key > best:
+                                best = key
+                    if n <= 4:
+                        # top gram's coverage (argmax by count, ties by
+                        # covered chars then gram string)
+                        vals[n].append(best[1] if best else 0)
+                    else:
+                        vals[n].append(dup)
+            for n in ns:
+                rows[f"__v{n}"] = pd.array(vals[n], dtype="int64")
+            yield pd.DataFrame(rows)
+
+    stats = base.mapInPandas(_gram_kernel, fields)
+
     def frac(c):
         x = F.when(
             F.col("__chars") > 0, c.cast("double") / F.col("__chars")
         ).otherwise(F.lit(0.0))
         # IEEE-pure 6-decimal rounding (identical cross-engine)
         return F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-    cols = {}
-    for n, thr in thresholds.items():
-        src = F.col("__top") if n <= 4 else F.col("__dup")
-        name = f"top_{n}gram_frac" if n <= 4 else f"dup_{n}gram_frac"
-        cols[name] = (
-            F.max(F.when(F.col("n") == n, frac(src))).alias(name),
-            thr,
-        )
-    pivoted = per_n.groupBy("id").agg(*[c for c, _ in cols.values()])
-    # docs too short for even a 2-gram produce no exploded rows — join
-    # back to the full id set so they appear with all-zero fractions
-    out = base.select("id").join(pivoted, "id", "left")
+
+    names = {
+        n: (f"top_{n}gram_frac" if n <= 4 else f"dup_{n}gram_frac")
+        for n in ns
+    }
     keep = None
-    for name, (_, thr) in cols.items():
-        ok = F.coalesce(F.col(name), F.lit(0.0)) <= F.lit(thr)
+    for n, thr in thresholds.items():
+        ok = frac(F.col(f"__v{n}")) <= F.lit(thr)
         keep = ok if keep is None else (keep & ok)
-    return out.select(
+    return stats.select(
         F.col("id").alias(id_col),
-        *[F.coalesce(F.col(name), F.lit(0.0)).alias(name) for name in cols],
+        *[frac(F.col(f"__v{n}")).alias(names[n]) for n in ns],
         keep.alias("keep_repetition"),
     )
 
@@ -309,70 +311,107 @@ def gopher_quality(
     df = _spread(df)
     t = F.col(text_col)
     words = word_tokens(t)
-    n_words = F.size(words).cast("long")
-    # Σ word length via one concat — avoids a per-word aggregate
-    char_sum = F.length(F.array_join(words, "")).cast("long")
-    mean_wlen = F.when(n_words > 0, char_sum.cast("double") / n_words).otherwise(0.0)
-    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
-    n_ellipsis = (
-        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
-    ) / F.lit(3)
-    symbol_ratio = F.when(
-        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words
-    ).otherwise(0.0)
-    alpha_frac = F.when(
-        n_words > 0,
-        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("double") / n_words,
-    ).otherwise(0.0)
-    stop = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
-    stop_hits = F.size(F.array_intersect(F.array_distinct(words), stop)).cast("long")
-
     lines = F.filter(
         F.transform(F.split(t, "\n"), lambda x: F.trim(x)), lambda x: x != ""
     )
-    n_lines = F.size(lines).cast("long")
-    bullet_frac = F.when(
-        n_lines > 0,
-        F.size(
-            F.filter(
-                lines,
-                lambda x: x.startswith("-") | x.startswith("*") | x.startswith("•"),
-            )
-        ).cast("double")
-        / n_lines,
-    ).otherwise(0.0)
-    ellipsis_frac = F.when(
-        n_lines > 0,
-        F.size(F.filter(lines, lambda x: x.endswith("..."))).cast("double") / n_lines,
-    ).otherwise(0.0)
-    dup_line_frac = F.when(
-        n_lines > 0,
-        1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines,
-    ).otherwise(0.0)
 
-    keep = (
-        (n_words >= min_words)
-        & (n_words <= max_words)
-        & (mean_wlen >= 3.0)
-        & (mean_wlen <= 10.0)
-        & (symbol_ratio <= 0.1)
-        & (bullet_frac < 0.9)
-        & (ellipsis_frac <= 0.3)
-        & (alpha_frac >= 0.8)
-        & (stop_hits >= min_stop_hits)
-        & (dup_line_frac <= 0.3)
-    )
-    return df.select(
+    # Bind the tokenized words / lines ONCE per row via the _let idiom
+    # and emit each family of metrics as one struct: the flat form
+    # referenced `words` from ~10 separate output expressions and the
+    # interpreted tokenizer re-split the document for each (the CSE
+    # miss _let documents; measured 7.0 s -> 2.8 s at sf1.0, outputs
+    # bit-identical). Struct-field accesses below share the one bound
+    # evaluation through projection subexpression elimination.
+    def _word_metrics(w):
+        n_words = F.size(w).cast("long")
+        # Σ word length via one concat — avoids a per-word aggregate
+        char_sum = F.length(F.array_join(w, "")).cast("long")
+        mean_wlen = F.when(
+            n_words > 0, char_sum.cast("double") / n_words
+        ).otherwise(0.0)
+        n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+        n_ellipsis = (
+            F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+        ) / F.lit(3)
+        symbol_ratio = F.when(
+            n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words
+        ).otherwise(0.0)
+        alpha_frac = F.when(
+            n_words > 0,
+            F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double")
+            / n_words,
+        ).otherwise(0.0)
+        stop = F.array(*[F.lit(x) for x in _GOPHER_STOPWORDS])
+        stop_hits = F.size(
+            F.array_intersect(F.array_distinct(w), stop)
+        ).cast("long")
+        return F.struct(
+            n_words.alias("n_words"),
+            mean_wlen.alias("mean_word_len"),
+            symbol_ratio.alias("symbol_ratio"),
+            alpha_frac.alias("alpha_frac"),
+            stop_hits.alias("stop_hits"),
+        )
+
+    def _line_metrics(l):
+        n_lines = F.size(l).cast("long")
+        bullet_frac = F.when(
+            n_lines > 0,
+            F.size(
+                F.filter(
+                    l,
+                    lambda x: x.startswith("-")
+                    | x.startswith("*")
+                    | x.startswith("•"),
+                )
+            ).cast("double")
+            / n_lines,
+        ).otherwise(0.0)
+        ellipsis_frac = F.when(
+            n_lines > 0,
+            F.size(F.filter(l, lambda x: x.endswith("..."))).cast("double")
+            / n_lines,
+        ).otherwise(0.0)
+        dup_line_frac = F.when(
+            n_lines > 0,
+            1.0 - F.size(F.array_distinct(l)).cast("double") / n_lines,
+        ).otherwise(0.0)
+        return F.struct(
+            n_lines.alias("n_lines"),
+            bullet_frac.alias("bullet_frac"),
+            ellipsis_frac.alias("ellipsis_frac"),
+            dup_line_frac.alias("dup_line_frac"),
+        )
+
+    mid = df.select(
         F.col(id_col),
-        n_words.alias("n_words"),
-        mean_wlen.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        alpha_frac.alias("alpha_frac"),
-        stop_hits.alias("stop_hits"),
-        n_lines.alias("n_lines"),
-        bullet_frac.alias("bullet_frac"),
-        ellipsis_frac.alias("ellipsis_frac"),
-        dup_line_frac.alias("dup_line_frac"),
+        _let(words, _word_metrics).alias("__wm"),
+        _let(lines, _line_metrics).alias("__lm"),
+    )
+    w_, l_ = F.col("__wm"), F.col("__lm")
+    keep = (
+        (w_["n_words"] >= min_words)
+        & (w_["n_words"] <= max_words)
+        & (w_["mean_word_len"] >= 3.0)
+        & (w_["mean_word_len"] <= 10.0)
+        & (w_["symbol_ratio"] <= 0.1)
+        & (l_["bullet_frac"] < 0.9)
+        & (l_["ellipsis_frac"] <= 0.3)
+        & (w_["alpha_frac"] >= 0.8)
+        & (w_["stop_hits"] >= min_stop_hits)
+        & (l_["dup_line_frac"] <= 0.3)
+    )
+    return mid.select(
+        F.col(id_col),
+        w_["n_words"].alias("n_words"),
+        w_["mean_word_len"].alias("mean_word_len"),
+        w_["symbol_ratio"].alias("symbol_ratio"),
+        w_["alpha_frac"].alias("alpha_frac"),
+        w_["stop_hits"].alias("stop_hits"),
+        l_["n_lines"].alias("n_lines"),
+        l_["bullet_frac"].alias("bullet_frac"),
+        l_["ellipsis_frac"].alias("ellipsis_frac"),
+        l_["dup_line_frac"].alias("dup_line_frac"),
         keep.alias("keep"),
     )
 
