@@ -539,7 +539,7 @@ def q_asof_upper_ts(spark, sf):
     into the events span (see _with_pop_ts) so the gate is non-vacuous."""
     from getml_community_spark.operators.asof_join import asof_match
 
-    orders = _with_pop_ts(_load(spark, sf, "orders"))
+    orders = _with_pop_ts(_spread(_load(spark, sf, "orders")))
     events = (
         _spread(_load(spark, sf, "events"))
         .withColumnRenamed("user_id", "o_custkey")
@@ -572,7 +572,7 @@ def q_asof_categorical_dummy(spark, sf):
     (o_totalprice − 1000·value per match) aggregated over the window."""
     from getml_community_spark.operators.asof_join import asof_features
 
-    orders = _with_pop_ts(_load(spark, sf, "orders"))
+    orders = _with_pop_ts(_spread(_load(spark, sf, "orders")))
     events = _spread(_load(spark, sf, "events")).withColumnRenamed("user_id", "o_custkey")
     dummy = asof_features(
         orders, events, on="o_custkey", population_id="o_orderkey",
@@ -629,7 +629,7 @@ def q_asof_orders_events(spark, sf):
     overlaps events, making the old gate vacuous)."""
     from getml_community_spark.operators.asof_join import asof_features
 
-    orders = _with_pop_ts(_load(spark, sf, "orders"))
+    orders = _with_pop_ts(_spread(_load(spark, sf, "orders")))
     events = _spread(_load(spark, sf, "events")).withColumnRenamed("user_id", "o_custkey")
     feats = asof_features(
         orders,
@@ -665,7 +665,7 @@ def q_asof_multikey(spark, sf):
     (custkey, synthetic key2) with the usual battery."""
     from getml_community_spark.operators.asof_join import asof_features
 
-    orders = _with_pop_ts(_load(spark, sf, "orders")).withColumn(
+    orders = _with_pop_ts(_spread(_load(spark, sf, "orders"))).withColumn(
         "k2", F.col("o_orderkey") % 3
     )
     events = (
@@ -748,7 +748,7 @@ def q_fastprop_features(spark, sf):
     checked against the equivalent CASE-WHEN battery in DuckDB."""
     from getml_community_spark.operators.fastprop import fastprop_features
 
-    orders = _with_pop_ts(_load(spark, sf, "orders"))
+    orders = _with_pop_ts(_spread(_load(spark, sf, "orders")))
     events = _spread(_load(spark, sf, "events")).withColumnRenamed("user_id", "o_custkey")
     out = fastprop_features(
         orders, events, on="o_custkey", population_id="o_orderkey",
@@ -1717,7 +1717,12 @@ def q_lm_perplexity(spark, sf):
     from getml_community_spark.operators.lm import bigram_lm_score
 
     docs = _load(spark, sf, "documents")
-    return bigram_lm_score(docs, "text", "doc_id", k=0.1)
+    # broadcast_model=True (not "auto"): a natural-language corpus's
+    # bigram TYPE count is Heaps-bounded (operator docstring), and the
+    # auto probe costs one extra full tokenize+aggregate job at
+    # construction just to decide what is already known here. Join
+    # strategy only — values unchanged (oracle-gated).
+    return bigram_lm_score(docs, "text", "doc_id", k=0.1, broadcast_model=True)
 
 
 def q_sessions_30m(spark, sf):

@@ -45,20 +45,42 @@ def rolling_zscore(
     minp = window if min_periods is None else min_periods
     epoch = F.col(ts_col).cast("timestamp").cast("long")
     v = F.col(value_col).cast("double")
-    w = (
+    # Prefix-sum formulation (one O(1)-per-row running pass + lags)
+    # instead of sliding [-window, -1] frames, which Spark re-aggregates
+    # from scratch per row (O(window) per row). On integer-valued
+    # inputs — the operator's documented exactness precondition — the
+    # running sums are exact integers in float64, so the lag difference
+    # equals the frame sum bit-for-bit and every derived value
+    # (mu/var/sd/z) is unchanged. Rows whose trailing window is empty
+    # get NaN intermediates instead of NULL, which the n >= min_periods
+    # guard hides identically.
+    w_run = (
         Window.partitionBy(source_col)
         .orderBy(epoch)
-        .rowsBetween(-window, -1)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    n = F.count(v).over(w).cast("double")
-    s1 = F.sum(v).over(w)
-    s2 = F.sum(v * v).over(w)
+    w_lag = Window.partitionBy(source_col).orderBy(epoch)
+    base = df.select(
+        "*",
+        F.count(v).over(w_run).alias("__rc"),
+        F.sum(v).over(w_run).alias("__rs1"),
+        F.sum(v * v).over(w_run).alias("__rs2"),
+    )
+
+    def _trail(col, zero):
+        prev = F.coalesce(F.lag(col, 1).over(w_lag), zero)
+        old = F.coalesce(F.lag(col, window + 1).over(w_lag), zero)
+        return prev - old
+
+    n = _trail(F.col("__rc"), F.lit(0)).cast("double")
+    s1 = _trail(F.col("__rs1"), F.lit(0.0))
+    s2 = _trail(F.col("__rs2"), F.lit(0.0))
     mu = s1 / n
     var = F.greatest(s2 / n - mu * mu, F.lit(0.0))  # cancellation guard
     sd = F.sqrt(var)
     z = F.when((n >= minp) & (sd > 0), (v - mu) / sd)
-    return df.select(
-        "*",
+    return base.select(
+        *[c for c in df.columns],
         z.alias("zscore"),
         F.coalesce(F.abs(z) > F.lit(float(k)), F.lit(False)).alias("is_anomaly"),
     )

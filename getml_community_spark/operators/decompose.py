@@ -62,22 +62,45 @@ def seasonal_decompose(
     )
     half = period // 2
     w = Window.partitionBy("key").orderBy("bucket_epoch")
+    # Prefix-sum windows (the rolling_zscore discipline): Spark
+    # re-aggregates a bounded sliding frame from scratch per row
+    # (O(period)/row); a running inclusive sum + lead/lag differences
+    # is O(1)/row and EXACT on the integral inputs this operator's
+    # determinism contract already requires (integer sums < 2^53).
+    # Frame [a, b] relative to row i equals X(i+b) − X(i+a−1) on the
+    # running X; a lead past the partition end yields NULL, which makes
+    # `full` non-true exactly where the truncated frame's count < p did.
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = base.select(
+        "key",
+        "bucket_epoch",
+        "v",
+        F.count("v").over(w_run).alias("__rc"),
+        F.sum("v").over(w_run).alias("__rs"),
+    )
+
+    def _frame(col, zero, a, b):
+        hi = F.lead(col, b).over(w) if b > 0 else col
+        lo = F.coalesce(F.lag(col, 1 - a).over(w), zero)
+        return hi - lo
+
     if period % 2 == 0:
         # 2×p MA: windows [-p/2, p/2-1] and [-p/2+1, p/2], each of p rows
-        w1 = w.rowsBetween(-half, half - 1)
-        w2 = w.rowsBetween(-half + 1, half)
-        full = (F.count("v").over(w1) == period) & (
-            F.count("v").over(w2) == period
-        )
-        num = F.when(full, F.sum("v").over(w1) + F.sum("v").over(w2))
+        c1 = _frame(F.col("__rc"), F.lit(0), -half, half - 1)
+        c2 = _frame(F.col("__rc"), F.lit(0), -half + 1, half)
+        s1 = _frame(F.col("__rs"), F.lit(0.0), -half, half - 1)
+        s2 = _frame(F.col("__rs"), F.lit(0.0), -half + 1, half)
+        full = (c1 == period) & (c2 == period)
+        num = F.when(full, s1 + s2)
         q = 2 * period
     else:
-        wc = w.rowsBetween(-half, half)
-        full = F.count("v").over(wc) == period
-        num = F.when(full, F.sum("v").over(wc))
+        cc = _frame(F.col("__rc"), F.lit(0), -half, half)
+        ss = _frame(F.col("__rs"), F.lit(0.0), -half, half)
+        full = cc == period
+        num = F.when(full, ss)
         q = period
 
-    t = base.select(
+    t = run.select(
         "key",
         "bucket_epoch",
         "v",

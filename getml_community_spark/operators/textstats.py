@@ -458,23 +458,36 @@ def ngram_contamination(
         return frame.select(*cols, F.explode(shingle_expr()).alias("__sh"))
 
     bench_set = shingles(benchmark, keep_id=False).distinct()
-    doc_sh = shingles(df, keep_id=True)
-    hits = (
-        doc_sh.join(F.broadcast(bench_set), "__sh", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    # ONE shingle pass over the corpus: the previous shape ran the
+    # (interpreted) shingle pipeline twice — once exploded for the
+    # semi-join hits and once for n_shingles — and joined the results
+    # back. explode_outer carries n_shingles alongside each shingle, a
+    # left join against the broadcast benchmark marks hits, and the
+    # per-doc aggregation ships only (id, n_shingles, hit) rows that
+    # partial aggregation collapses map-side (each doc lives in one
+    # partition, so ~one row per doc crosses the shuffle).
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(shingle_expr()).alias("__sh")
     )
-    base = df.select(
-        F.col(id_col),
-        F.size(shingle_expr()).cast("long").alias("n_shingles"),
-    )
-    return base.join(hits, id_col, "left").select(
-        id_col,
-        "n_shingles",
-        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias(
-            "n_contaminated"
-        ),
-        (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias("contaminated"),
+    marked = exploded.join(
+        F.broadcast(bench_set.withColumn("__hit", F.lit(1))), "__sh", "left"
+    ).select(id_col, "__sh", "__hit")
+    # n_shingles == count of exploded shingles (the array is already
+    # distinct; explode_outer's NULL row for an empty array is skipped
+    # by count), so the same aggregation yields both outputs
+    n_cont = F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("__sh").cast("long").alias("n_shingles"),
+            n_cont.alias("n_contaminated"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_contaminated",
+            (F.col("n_contaminated") > 0).alias("contaminated"),
+        )
     )
 
 
@@ -509,7 +522,7 @@ def tfidf_topk(
     )
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
@@ -526,11 +539,26 @@ def tfidf_topk(
             ).alias("tfidf"),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    # Top-k as one hash aggregation instead of a row_number window: the
+    # window sorted every (doc, term) row per partition; collect_list +
+    # sort_array per doc sorts only each doc's ~tens of terms, and the
+    # explicit broadcast of dfreq keeps the scoring join shuffle-free
+    # (aggregate-output size estimates are too big for auto-broadcast).
+    # sort_array asc on struct(-tfidf, term) == (tfidf desc, term asc)
+    # — IEEE negation is exact, so ranks match row_number bit-for-bit.
+    st = F.struct(
+        F.negate(F.col("tfidf")).alias("ntf"), F.col("term"), F.col("tfidf")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(id_col, "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+        scored.groupBy(id_col)
+        .agg(F.slice(F.sort_array(F.collect_list(st)), 1, k).alias("__top"))
+        .select(id_col, F.posexplode("__top").alias("__r0", "__t"))
+        .select(
+            id_col,
+            F.col("__t.term").alias("term"),
+            F.col("__t.tfidf").alias("tfidf"),
+            (F.col("__r0") + 1).cast("int").alias("rank"),
+        )
     )
 
 
