@@ -334,9 +334,21 @@ def q_json_extract(spark, sf):
 
 
 def q_battery_1h(spark, sf):
-    """Extended aggregation battery per (user_id, hour bucket) — one
-    single-pass groupBy (SURVEY.md §2.6)."""
-    from getml_community_spark.operators.aggregates import battery
+    """Extended aggregation battery per (user_id, hour bucket)
+    (SURVEY.md §2.6).
+
+    count_distinct is computed in a SEPARATE co-partitioned aggregation
+    and joined back (optimization guide §2.3 "aggregate before you
+    shuffle"): mixing a distinct aggregate with the buffer-heavy battery
+    makes Catalyst rewrite the whole agg to group by
+    (keys, value) first, building and exchanging one percentile/min_by
+    buffer PER DISTINCT VALUE (≈ per event on continuous doubles —
+    measured 4.9 s vs 2.9 s without the distinct at sf1-shape). The
+    standalone distinct branch plans as two cheap codegen hash
+    aggregates; the join keys equal both aggs' grouping keys, so no
+    extra exchange. Values are identical: same clean() input, same
+    count_distinct arithmetic, inner join on the identical group set."""
+    from getml_community_spark.operators.aggregates import battery, clean
 
     ev = _spread(_load(spark, sf, "events"))
     t = F.col("ts").cast("timestamp").cast("double")
@@ -349,18 +361,32 @@ def q_battery_1h(spark, sf):
         tiebreak=F.col("event_id"),
         include={
             "count", "sum", "avg", "min", "max", "median", "q25", "q75",
-            "q90", "stddev_pop", "var_pop", "count_distinct", "first",
+            "q90", "stddev_pop", "var_pop", "first",
             "last", "avg_time_between", "trend", "ewma_1h",
             "variation_coefficient",
         },
     )
-    out = ev.groupBy(F.col("user_id"), bucket.alias("bucket_start")).agg(*aggs)
-    keep = [c for c in out.columns if c not in ("user_id", "bucket_start")]
+    main = ev.groupBy(F.col("user_id"), bucket.alias("bucket_start")).agg(*aggs)
+    cd = ev.groupBy(F.col("user_id"), bucket.alias("bucket_start")).agg(
+        F.count_distinct(clean(F.col("value"))).cast("double").alias(
+            "count_distinct"
+        )
+    )
+    out = main.join(cd, ["user_id", "bucket_start"])
+    # column order must stay byte-identical to the single-agg battery's
+    # emission order (driver gate is column-order sensitive):
+    # count_distinct sits between stddev_pop and first
+    order = [
+        "count", "sum", "avg", "min", "max", "median", "q25", "q75",
+        "q90", "var_pop", "stddev_pop", "count_distinct", "first",
+        "last", "avg_time_between", "ewma_1h", "trend",
+        "variation_coefficient",
+    ]
     return out.select(
         "user_id",
         "bucket_start",
         F.col("count").cast("long").alias("cnt"),
-        *[_r(F.col(c)).alias(c) for c in keep if c != "count"],
+        *[_r(F.col(c)).alias(c) for c in order if c != "count"],
     )
 
 

@@ -60,15 +60,25 @@ def asof_match(
     strategy: str = "auto",
     peri_cols: list[str] | None = None,
     pop_cols: list[str] | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Return matched (population_id, pop_ts_epoch, peripheral columns)
     pairs under the reference window predicate.
 
     Timestamps may be TimestampType (cast to double epoch seconds — the
     reference stores double epoch, data/time.py:11-23) or numeric.
+
+    ``how="left"`` keeps every population row: rows with no window match
+    are emitted once per candidate bucket with all peripheral columns
+    NULL (the window predicate moves into the join condition). This is
+    the shuffle-saving shape for feature aggregation — the consumer's
+    single ``groupBy(__pop_id)`` then covers match-less rows too, so no
+    second pass over the population is needed (optimization guide §2.4).
     """
     if memory is not None and upper_ts is not None:
         raise ValueError("memory and upper_ts are mutually exclusive")
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
     on = [on] if isinstance(on, str) else list(on)
     if not on:
         # keyless join: the reference adds a constant join key to both
@@ -112,9 +122,10 @@ def asof_match(
             "__bkt",
             F.explode(F.array_distinct(F.array(lo_b.cast("long"), hi_b.cast("long")))),
         )
-        joined = pop_e.join(peri, on=on + ["__bkt"], how="inner").drop("__bkt")
+        join_keys = on + ["__bkt"]
     else:
-        joined = pop.join(peri, on=on, how="inner")
+        pop_e = pop
+        join_keys = list(on)
 
     upper_pred = F.col("__t_peri") <= (F.col("__t_pop") - F.lit(float(horizon)))
     cond = upper_pred
@@ -127,7 +138,28 @@ def asof_match(
         # reference: NaN/NULL upper ⇒ open-ended (Matchmaker.hpp:126-131)
         u = _epoch(F.col(upper_ts))
         cond = cond & (u.isNull() | F.isnan(u) | (u > F.col("__t_pop")))
-    return joined.where(cond)
+
+    if how == "inner":
+        joined = pop_e.join(peri, on=join_keys, how="inner")
+        if strategy == "bucketed":
+            joined = joined.drop("__bkt")
+        return joined.where(cond)
+    # how == "left": the window predicate joins the equi keys inside the
+    # ON condition so match-less population rows null-extend instead of
+    # disappearing. Peripheral key columns are renamed to avoid ambiguity
+    # and dropped after the join.
+    peri_r = peri
+    for k in join_keys:
+        peri_r = peri_r.withColumnRenamed(k, f"__peri_{k}")
+    eq = None
+    for k in join_keys:
+        e = F.col(k) == F.col(f"__peri_{k}")
+        eq = e if eq is None else eq & e
+    joined = pop_e.join(peri_r, eq & cond, "left")
+    # population key columns stay (callers re-emit them); internal
+    # bucket + renamed peripheral keys go
+    drop = ["__bkt"] if strategy == "bucketed" else []
+    return joined.drop(*drop, *[f"__peri_{k}" for k in join_keys])
 
 
 def asof_features(
@@ -154,13 +186,21 @@ def asof_features(
     single shuffle).
 
     Population rows with no matches keep LEFT-join semantics: count=0,
-    sum=0.0, everything else NULL (the engine's NaN), via the final
-    left join back onto the population.
+    sum=0.0, everything else NULL (the engine's NaN). The match itself
+    is a LEFT join (window predicate in the join condition), so one
+    ``groupBy(population_id)`` covers match-less rows too and no second
+    pass over the population / rejoin shuffle is needed (optimization
+    guide §2.4 — measured: the old population⋈features sort-merge rejoin
+    was ~20-25%% of the query at sf1-shape). Requires ``population_id``
+    to uniquely identify population rows (the as-of contract's row id);
+    non-id population columns are carried as ``first()`` per group.
     """
     from .aggregates import battery
 
     if (value_col is None) == (value_expr is None):
         raise ValueError("pass exactly one of value_col / value_expr")
+    on_l = [on] if isinstance(on, str) else list(on)
+    pop_carry = [c for c in population.columns if c != population_id]
     matched = asof_match(
         population,
         peripheral,
@@ -172,23 +212,54 @@ def asof_features(
         memory=memory,
         strategy=strategy,
         peri_cols=(peri_cols or ([value_col, peri_ts] if value_col else None)),
-        pop_cols=pop_cols,
+        pop_cols=list(dict.fromkeys([*(pop_cols or []), *pop_carry])),
+        how="left",
     )
     # value_expr enables the reference's value-extraction variants
     # (fastprop/Aggregator.cpp): categorical dummies
     # (CASE WHEN c='x' THEN 1 ELSE 0, SQLMaker.cpp:295-307) and
     # same-units differences (__pop_<col> - peripheral col, :282-320).
-    aggs = battery(
+    # guard the value on real-match presence: a LEFT-match null-extended
+    # row must contribute nothing even when value_expr has a non-null
+    # otherwise() branch (e.g. the categorical dummy's 0.0). __t_peri is
+    # null exactly on non-matches — the window predicate cannot match a
+    # null-ts peripheral row.
+    val = F.when(
+        F.col("__t_peri").isNotNull(),
         value_expr if value_expr is not None else F.col(value_col),
+    )
+    aggs = battery(
+        val,
         ts=F.col("__t_peri"),
         t_ref=F.col("__t_pop"),  # Δt = ts_pop − ts_peri, Aggregator.hpp:415-423
         include=include,
         prefix=prefix,
     )
-    feats = matched.groupBy("__pop_id").agg(*aggs)
-    out = population.join(
-        feats, population[population_id] == feats["__pop_id"], "left"
-    ).drop("__pop_id")
+    carries = [
+        F.first(F.col(c) if c in on_l else F.col(f"__pop_{c}")).alias(c)
+        for c in pop_carry
+    ]
+    # __nm counts REAL matches; a pop row with zero matches must emit
+    # NULL for every feature except count/sum (exactly what the old
+    # population⋈features rejoin produced for absent feature rows —
+    # e.g. avg_time_between's n<=1 → 0.0 branch must not fire on an
+    # empty match set).
+    grouped = matched.groupBy("__pop_id").agg(
+        *carries, *aggs, F.count(F.col("__t_peri")).alias("__nm")
+    )
+    feat_names = grouped.columns[1 + len(carries):-1]
+    has = F.col("__nm") > 0
+    keep_raw = {prefix + "count", prefix + "sum"}
+    out = grouped.select(
+        *[
+            F.col("__pop_id").alias(c) if c == population_id else F.col(c)
+            for c in population.columns
+        ],
+        *[
+            (F.col(n) if n in keep_raw else F.when(has, F.col(n))).alias(n)
+            for n in feat_names
+        ],
+    )
     # empty-match defaults (Aggregations.hpp: COUNT→0, SUM→0.0)
     for c in (prefix + "count", prefix + "sum"):
         if c in out.columns:

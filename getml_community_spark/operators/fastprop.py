@@ -103,6 +103,8 @@ def fastprop_features(
     if n_lag_splits and memory is None:
         raise ValueError("lag splits require a finite memory window")
 
+    on_l = [on] if isinstance(on, str) else list(on)
+    pop_carry = [c for c in population.columns if c != population_id]
     peri_needed = [*value_cols, *categorical_cols, *(p[1] for p in same_units_pairs)]
     matched = asof_match(
         population,
@@ -115,7 +117,10 @@ def fastprop_features(
         memory=memory,
         strategy=strategy,
         peri_cols=list(dict.fromkeys([*peri_needed, peri_ts])),
-        pop_cols=list(dict.fromkeys(p[0] for p in same_units_pairs)) or None,
+        pop_cols=list(
+            dict.fromkeys([*(p[0] for p in same_units_pairs), *pop_carry])
+        ),
+        how="left",
     )
 
     conditions: list[tuple[str, Column | None]] = [("all", None)]
@@ -155,10 +160,21 @@ def fastprop_features(
                 feature_cols.append(FASTPROP_AGGS[a](base).alias(name))
                 names.append(name)
 
-    feats = matched.groupBy("__pop_id").agg(*feature_cols)
-    out = population.join(
-        feats, population[population_id] == feats["__pop_id"], "left"
-    ).drop("__pop_id")
+    # LEFT-match + one groupBy covers match-less population rows, so no
+    # rejoin pass over the population (optimization guide §2.4); non-id
+    # population columns ride along as first() (constant per pop row).
+    carries = [
+        F.first(F.col(c) if c in on_l else F.col(f"__pop_{c}")).alias(c)
+        for c in pop_carry
+    ]
+    grouped = matched.groupBy("__pop_id").agg(*carries, *feature_cols)
+    out = grouped.select(
+        *[
+            F.col("__pop_id").alias(c) if c == population_id else F.col(c)
+            for c in population.columns
+        ],
+        *names,
+    )
     for name in names:
         if name.startswith("count__"):
             out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0)))

@@ -133,11 +133,20 @@ def test_fastprop_grid_is_single_aggregation(spark):
         categorical_cols=("event_type",), n_most_frequent=3, n_lag_splits=2,
         horizon=3600.0, memory=7 * 86400.0 - 3600.0,
     )
-    assert len([c for c in out.columns if "__value__" in c]) == 30
-    plan = _plan(out)
+    feature_cols = [c for c in out.columns if "__value__" in c]
+    assert len(feature_cols) == 30
+    # the feature-extraction shape (id + features — what the contract
+    # queries select): Catalyst prunes the population-column first()
+    # carries, leaving ONE hash aggregation (partial + final) and no
+    # population rejoin. Selecting every population column instead
+    # degrades the carry to a sort-based aggregate (first(string) has no
+    # mutable hash buffer) — the price of the rejoin-free left-match
+    # plan, comparable to the old rejoin's sort-merge.
+    plan = _plan(out.select("o_orderkey", *feature_cols))
     import re
 
     assert len(re.findall(r"HashAggregate", plan)) == 2, plan  # partial + final
+    assert "SortMergeJoin" not in plan, plan  # no population rejoin
     assert plan.count("Exchange") <= 4, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
 
