@@ -215,11 +215,12 @@ def q_exactsubstr_spans(spark, sf):
     oracle replays window-hash counting + gaps-and-islands in DuckDB
     over the same gram strings."""
     from getml_community_spark.operators.dedup import duplicated_token_spans
+    from getml_community_spark.operators.textstats import word_tokens_arrow
 
     docs = _spread(_load(spark, sf, "documents"))
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != ""
-    )
+    # Arrow tokenizer (guide §4.2) — same [^a-z0-9]+ split class as the
+    # oracle, C-regex instead of the interpreted JVM split+filter
+    toks = word_tokens_arrow(F.col("text"), r"[^a-z0-9]+")
     df = docs.select("doc_id", toks.alias("tokens"))
     spans = duplicated_token_spans(df, k=10)
     return spans.select(
@@ -1484,14 +1485,14 @@ def q_pack_stats(spark, sf):
     from span algebra: a piece starting 0-based at p0 in its chunk
     contributes p0·Σlen + Σ j·len(w_j)."""
     from getml_community_spark.operators.packing import pack_sequences
-    from getml_community_spark.operators.textstats import word_tokens
+    from getml_community_spark.operators.textstats import word_tokens_arrow
 
-    docs = _load(spark, sf, "documents")
+    docs = _spread(_load(spark, sf, "documents"))
     toks = docs.select(
         "doc_id",
         "source",
         F.transform(
-            word_tokens(F.col("text")), lambda w: F.length(w).cast("int")
+            word_tokens_arrow(F.col("text")), lambda w: F.length(w).cast("int")
         ).alias("tokens"),
     )
     packed = pack_sequences(toks, 128)

@@ -60,13 +60,13 @@ def bigram_lm_score(
     """
     if k <= 0:
         raise ValueError("k must be > 0")
-    from .textstats import _spread, word_tokens
+    from .textstats import _spread, word_tokens_arrow
 
-    toks = word_tokens(F.col(text_col))
-    # spread narrow inputs before the interpreted tokenizer, and bind
-    # the token array in its own projection so the tokenizer runs once
-    # per row, not once per bigram (CSE misses the '[^a-z0-9']+' split
-    # pattern — measured 24x on decontamination before the same fix)
+    toks = word_tokens_arrow(F.col(text_col))
+    # spread narrow inputs before the tokenizer; the Arrow tokenizer is
+    # non-deterministic-marked so the size()>=2 filter cannot push below
+    # it and re-evaluate it (guide §4.4 — the old JVM split ran twice
+    # here, once under the pushed filter and once in the projection)
     base = _spread(df).select(F.col(id_col).alias("id"), toks.alias("__ws")).where(
         F.size("__ws") >= 2  # guard BEFORE sequence(): sequence(1, 0)
         # is a DESCENDING [1, 0] in Spark, not empty

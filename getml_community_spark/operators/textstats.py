@@ -50,6 +50,51 @@ def word_tokens(text: Column, charset: str = "ascii") -> Column:
     return F.filter(F.split(F.lower(text), _TOKEN_SPLIT[charset]), lambda w: w != "")
 
 
+_TOKEN_UDFS: dict = {}
+
+
+def word_tokens_arrow(text, pattern: str = r"[^a-z0-9']+") -> Column:
+    """Arrow-batched tokenizer: lower + C-regex split + empty filter in
+    the Python worker (optimization guide §4.2 — measured 5x faster than
+    the interpreted JVM split+filter higher-order pair at sf1-shape;
+    re.split runs in C, tokens cross back as one Arrow ListArray).
+
+    Byte-identical to :func:`word_tokens` on ASCII input (same split
+    class, same empty-string filter; Python str.lower == JVM lower on
+    ASCII — the driver corpus and every oracle-gated query are ASCII by
+    contract, see _TOKEN_SPLIT). Marked non-deterministic so the
+    optimizer neither duplicates it under pushed-down filters (guide
+    §4.4) nor re-evaluates it per consumer expression. The UDF is
+    module-level-cached per pattern, so a reused Python worker keeps the
+    compiled regex across tasks.
+    """
+    udf = _TOKEN_UDFS.get(pattern)
+    if udf is None:
+        import re
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        rx = re.compile(pattern)
+
+        def _tok(s):
+            split = rx.split
+            return pd.Series(
+                [
+                    None if x is None else [t for t in split(x.lower()) if t]
+                    for x in s
+                ]
+            )
+
+        # real annotations: the module's `from __future__ import
+        # annotations` would stringify inline hints, which pandas_udf
+        # cannot resolve
+        _tok.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        udf = pandas_udf(_tok, "array<string>").asNondeterministic()
+        _TOKEN_UDFS[pattern] = udf
+    return udf(text)
+
+
 def token_count(text: Column, mode: str = "whitespace") -> Column:
     """Token counting: 'whitespace' = word split; 'bpe_ish' = a regex
     approximating BPE segmentation (contiguous letters / digits /
@@ -117,8 +162,8 @@ def vocabulary(
     the reference's textmining::Vocabulary (min document frequency +
     max size, Vocabulary.hpp:31-46). explode → two hash aggs; ordered
     by (df desc, word asc) for determinism."""
-    words = df.select(
-        F.explode(F.array_distinct(word_tokens(F.col(text_col)))).alias("word")
+    words = _spread(df).select(
+        F.explode(F.array_distinct(word_tokens_arrow(F.col(text_col)))).alias("word")
     )
     return (
         words.groupBy("word")
@@ -204,12 +249,12 @@ def repetition_stats(
     """
     thresholds = REPETITION_THRESHOLDS
     df = _spread(df)
-    ws = word_tokens(F.col(text_col))
-    base = df.select(
-        F.col(id_col).alias("id"),
-        ws.alias("__ws"),
-        F.length(F.array_join(ws, " ")).cast("long").alias("__chars"),
-    )
+    # tokenize INSIDE the gram kernel (guide §4.2): the old shape ran
+    # the interpreted JVM split+filter, then shipped the token arrays
+    # through Arrow into the kernel — the C-regex split in the same
+    # Python pass produces identical tokens (ASCII contract, see
+    # word_tokens_arrow) with one less pass and no array transfer
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
     # Per-doc gram counting is DOC-LOCAL: the previous shape exploded
     # one (id, n, gram) STRING row per position for all nine n (~9 x
     # n_words rows per doc) and shuffled them twice (count agg + per-n
@@ -229,13 +274,17 @@ def repetition_stats(
     )
 
     def _gram_kernel(batches):
+        import re
         from collections import Counter
 
+        rx = re.compile(r"[^a-z0-9']+")
         for pdf in batches:
-            rows = {"id": pdf["id"], "__chars": pdf["__chars"]}
+            rows = {"id": pdf["id"]}
+            chars = []
             vals = {n: [] for n in ns}
-            for words in pdf["__ws"]:
-                wl = list(words)
+            for txt in pdf["__txt"]:
+                wl = [t for t in rx.split(txt.lower()) if t]
+                chars.append(len(" ".join(wl)))
                 W = len(wl)
                 for n in ns:
                     if W < n:
@@ -259,6 +308,7 @@ def repetition_stats(
                         vals[n].append(best[1] if best else 0)
                     else:
                         vals[n].append(dup)
+            rows["__chars"] = pd.array(chars, dtype="int64")
             for n in ns:
                 rows[f"__v{n}"] = pd.array(vals[n], dtype="int64")
             yield pd.DataFrame(rows)
@@ -310,7 +360,7 @@ def gopher_quality(
     """
     df = _spread(df)
     t = F.col(text_col)
-    words = word_tokens(t)
+    words = word_tokens_arrow(t)  # Arrow tokenizer, guide §4.2 (5x)
     lines = F.filter(
         F.transform(F.split(t, "\n"), lambda x: F.trim(x)), lambda x: x != ""
     )
@@ -441,7 +491,7 @@ def ngram_contamination(
         # _let binds the tokenized words once per row — without it the
         # tokenizer re-splits the text per shingle (measured 24x)
         return _let(
-            word_tokens(F.col(text_col)),
+            word_tokens_arrow(F.col(text_col)),
             lambda w: F.when(
                 F.size(w) >= n,
                 F.array_distinct(
@@ -512,9 +562,18 @@ def tfidf_topk(
     """
     df = _spread(df)
     words = df.select(
-        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
+        F.col(id_col), F.explode(word_tokens_arrow(F.col(text_col))).alias("term")
     )
-    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the document-frequency aggregation (a broadcast
+    # subquery) and the scoring join, and the branches share no subtree —
+    # without a barrier each consumer re-runs the tokenize + explode +
+    # (id, term) aggregation (plan-audited; the optimization guide's
+    # duplicated-subtree trap). One slim checkpoint = one corpus pass.
+    tf = (
+        words.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -604,7 +663,78 @@ def bm25_scores(
     terms = sorted({t.lower() for t in query_terms})
     if not terms:
         raise ValueError("query_terms must be non-empty")
-    # no narrow-input spread here (measured 6.0 s -> 8.5 s with it): the
+    if len(terms) <= 16:
+        # small fixed query: ONE tokenize pass, zero joins/shuffles of
+        # corpus rows (optimization guide §2.3/§2.4). Per-term tf comes
+        # from in-array counting (F.filter size) in the same projection
+        # that computes dl — the token array binds once via _let. The
+        # slim (id, dl, tf...) frame checkpoints once; corpus stats and
+        # per-term document frequencies fall out of ONE global
+        # aggregation broadcast back as a single row. Arithmetic is
+        # expression-identical to the explode path (same idf/denom/
+        # micro-quantization), so scores match bitwise; terms with tf=0
+        # contribute an exact 0 to the integer sum, equal to the explode
+        # path's absent rows.
+        idx = range(len(terms))
+        row = _let(
+            word_tokens_arrow(F.col(text_col)),
+            lambda w: F.struct(
+                F.size(w).alias("dl"),
+                *[
+                    F.size(
+                        F.filter(w, lambda x: x == F.lit(t))
+                    ).alias(f"tf{i}")
+                    for i, t in enumerate(terms)
+                ],
+            ),
+        )
+        base = (
+            _spread(df)
+            .select(F.col(id_col).alias("id"), row.alias("__s"))
+            .select(
+                "id",
+                F.col("__s.dl").cast("long").alias("__dl"),
+                *[F.col(f"__s.tf{i}").alias(f"__tf{i}") for i in idx],
+            )
+            .localCheckpoint(eager=True)
+        )
+        stats = base.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__dl").alias("__sumdl"),
+            *[
+                F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+                for i in idx
+            ],
+        )
+        nd = F.col("__n").cast("double")
+        avgdl = F.col("__sumdl").cast("double") / nd
+        total = None
+        for i in idx:
+            dfd = F.col(f"__df{i}").cast("double")
+            idf = F.log(
+                F.lit(1.0) + (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+            )
+            tfd = F.col(f"__tf{i}").cast("double")
+            denom = tfd + F.lit(k1) * (
+                F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / avgdl
+            )
+            s = idf * (tfd * F.lit(k1 + 1.0)) / denom
+            m = F.when(
+                F.col(f"__tf{i}") > 0,
+                F.floor(s * F.lit(1e6) + F.lit(0.5)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            total = m if total is None else total + m
+        any_hit = None
+        for i in idx:
+            h = F.col(f"__tf{i}") > 0
+            any_hit = h if any_hit is None else any_hit | h
+        return (
+            base.where(any_hit)
+            .crossJoin(F.broadcast(stats))
+            .select(F.col("id").alias(id_col), total.alias("score_micro"))
+        )
+    # large/unbounded term sets: the explode + shuffle path below.
+    # No narrow-input spread here (measured 6.0 s -> 8.5 s with it): the
     # term filter prunes almost everything right at the scan, and both
     # tokenize passes stop at slim checkpoints — the extra exchange of
     # full text cost more than the single-task tokenize it parallelized

@@ -323,13 +323,25 @@ def test_decompose_materializes_input_once(spark):
     assert "Python" not in plan
 
 
-def test_lm_and_repetition_plans_are_jvm_only(spark):
+def test_lm_and_repetition_plans_tokenize_once_in_arrow(spark):
+    """r6: tokenization moved to the Arrow-batched C-regex path (guide
+    §4.2 — measured 5x over the interpreted JVM split+filter), so each
+    pipeline now contains EXACTLY ONE Python stage (the tokenizer /
+    the tokenizing gram kernel) and no row-at-a-time UDFs."""
+    import re
+
     from getml_community_spark.operators.lm import bigram_lm_score
     from getml_community_spark.operators.textstats import repetition_stats
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    for frame in (bigram_lm_score(docs), repetition_stats(docs)):
+    # lm's auto mode eagerly materializes the bigram checkpoint (the
+    # model-size probe), truncating the plan ABOVE the tokenizer — 0
+    # Python stages visible there; repetition shows its single kernel
+    for frame, expect in ((bigram_lm_score(docs), {0, 1}),
+                          (repetition_stats(docs), {1})):
         plan = _plan(frame)
-        assert "Python" not in plan  # no UDFs anywhere in either pipeline
+        assert "BatchEvalPython" not in plan, plan  # no pickled-row UDFs
+        n_py = len(re.findall(r"ArrowEvalPython|MapInPandas", plan))
+        assert n_py in expect, plan  # the tokenizer, at most once
         # token-key joins/aggs only — bounded shuffle count
         assert plan.count("Exchange hashpartitioning") <= 6, plan
