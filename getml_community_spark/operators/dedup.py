@@ -583,23 +583,35 @@ def minhash_lsh_pairs_verified(
     probability a pair with true Jaccard ≥ 0.8 is never bucketed is
     (1-0.8⁴)³² ≈ 5e-8, so thresholding the exact score equals all-pairs
     Jaccard for practical purposes (this is the oracle-checkable form)."""
+    # Shingle each doc ONCE into a checkpointed (id, shingles) table and
+    # reuse it for BOTH the signature pass and the exact rescore — the
+    # old shape re-tokenized the raw text per candidate pair (a doc in k
+    # pairs shingled k+1 times; the token path, dedup.py:385, already
+    # worked this way). Same arrays → identical jaccard values.
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)  # spread the interpreted shingle pass
+    sh_tbl = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), shingle_n).alias("__sh"),
+    ).localCheckpoint(eager=True)
     cand = minhash_lsh_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_n, max_bucket_size
+        sh_tbl, None, "id", num_hashes, bands, shingle_n, max_bucket_size,
+        shingle_expr=F.col("__sh"),
     ).select("id_a", "id_b")
-    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__txt_a"))
-    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__txt_b"))
+    ta = sh_tbl.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    tb = sh_tbl.select(F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     joined = cand.join(ta, "id_a").join(tb, "id_b")
-    # Spread the candidate pairs BEFORE the per-pair exact Jaccard: AQE
-    # coalesces the small candidate frame to one partition, and the
-    # double tokenize inside ngram_jaccard is interpreted — measured
-    # 12 s single-core for ~2.5k pairs at sf1.0 vs <1 s spread.
-    joined = joined.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # Spread the candidate pairs BEFORE the per-pair set ops: AQE
+    # coalesces the small candidate frame to one partition otherwise.
+    joined = joined.repartition(target)
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    union = F.size(F.array_union("__sh_a", "__sh_b")).cast("double")
     out = joined.select(
         "id_a",
         "id_b",
-        ngram_jaccard(F.col("__txt_a"), F.col("__txt_b"), shingle_n).alias(
-            "jaccard"
-        ),
+        F.when(union == 0, 0.0).otherwise(inter / union).alias("jaccard"),
     )
     # lazy barrier: a caller's filter on `jaccard` would otherwise be
     # pushed below the repartition, re-evaluating the interpreted

@@ -94,16 +94,20 @@ def gapfill(
     min/max. ``per_source=False`` uses the global [min, max] span for
     every source (useful when sources must align for cascades).
     """
-    # the spine's bounds aggregation AND the left join both consume
-    # `agg`, and the branches share no subtree — without a barrier the
-    # whole upstream chain (scan -> rollup) executes twice per action
-    # (measured: 2.2 s of gapfill's 2.2+ s at sf1.0 was the second
-    # pass). Lazy localCheckpoint; skipped when the caller already
-    # persisted the tier (the hot path does).
+    # both construction paths consume `agg` from two branches that share
+    # no subtree — without a barrier the whole upstream chain
+    # (scan -> rollup) executes twice per action (measured: 2.2 s of
+    # gapfill's 2.2+ s at sf1.0 was the second pass). Lazy
+    # localCheckpoint; skipped when the caller already persisted the
+    # tier (the hot path does).
     from pyspark import StorageLevel
 
     if barrier and agg.storageLevel == StorageLevel.NONE:
         agg = agg.localCheckpoint(eager=False)
+    if per_source:
+        return _gapfill_windowed(
+            agg, tier_seconds, zero_cols, null_cols, rate_col
+        )
     spine = _spine(agg, tier_seconds, per_source)
     out = spine.join(agg, ["source", "bucket_start"], "left")
     for c in zero_cols:
@@ -113,6 +117,97 @@ def gapfill(
     # null_cols stay NULL — listed for schema documentation
     _ = null_cols
     return out
+
+
+def _gapfill_windowed(
+    agg: DataFrame,
+    tier_seconds: int,
+    zero_cols: tuple[str, ...],
+    null_cols: tuple[str, ...],
+    rate_col: str | None,
+) -> DataFrame:
+    """Per-source densification WITHOUT the spine join: one window pass
+    (lag of the previous bucket per source) finds each gap, and the
+    missing buckets are generated map-side from a two-level explode
+    (bounded arrays, the _spine chunk discipline) and unioned with the
+    real rows. Replaces sorting/joining the DENSE table (≈ sources x
+    buckets rows — 10x the aggregate at sf1-shape, measured ~40%% of
+    the query) with one sort of the aggregate itself; the dense rows
+    are born in the map stage after the window. Row set is identical:
+    every bucket in [min_bucket, max_bucket] per source.
+    """
+    from pyspark.sql import Window
+
+    _ = null_cols  # gap rows: NULL via typed literals below
+    b = F.col("bucket_start").cast("timestamp").cast("long")
+    w = Window.partitionBy("source").orderBy(b)
+    sec = int(tier_seconds)
+    per_chunk = max(86400 // sec, 1)
+    stride = per_chunk * sec
+    prev = F.lag(b).over(w)
+    # only the GAP branch needs the window; the real rows come straight
+    # from the (checkpointed) aggregate, so the per-source sort runs
+    # once, over the aggregate, never over the dense output
+    wrows = agg.select("source", prev.alias("__prev"), b.alias("__b"))
+    gaps = (
+        wrows.where(
+            F.col("__prev").isNotNull() & (F.col("__b") - F.col("__prev") > sec)
+        )
+        .select(
+            "source",
+            (F.col("__prev") + sec).alias("__g0"),
+            (F.col("__b") - sec).alias("__g1"),
+        )
+        .select(
+            "source",
+            "__g0",
+            "__g1",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.floor((F.col("__g1") - F.col("__g0")) / F.lit(stride)).cast(
+                        "long"
+                    ),
+                )
+            ).alias("__c"),
+        )
+        .select(
+            "source",
+            "__g1",
+            (
+                F.col("__g0")
+                + F.col("__c") * F.lit(per_chunk) * F.lit(sec)
+            ).alias("__c0"),
+        )
+        .select(
+            "source",
+            "__g1",
+            "__c0",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(per_chunk - 1).cast("long"))
+            ).alias("__i"),
+        )
+        .select(
+            "source",
+            (F.col("__c0") + F.col("__i") * F.lit(sec)).alias("__g"),
+            "__g1",
+        )
+        .where(F.col("__g") <= F.col("__g1"))
+    )
+    dtypes = dict(agg.dtypes)
+    gap_cols = []
+    for c in agg.columns:
+        if c == "source":
+            gap_cols.append(F.col("source"))
+        elif c == "bucket_start":
+            gap_cols.append(F.timestamp_seconds(F.col("__g")).alias("bucket_start"))
+        elif c in zero_cols:
+            gap_cols.append(F.lit(0).cast(dtypes[c]).alias(c))
+        elif rate_col and c == rate_col:
+            gap_cols.append(F.lit(0.0).cast(dtypes[c]).alias(c))
+        else:
+            gap_cols.append(F.lit(None).cast(dtypes[c]).alias(c))
+    return agg.unionByName(gaps.select(*gap_cols))
 
 
 def gapfill_interpolated(

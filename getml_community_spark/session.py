@@ -78,6 +78,14 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # ContextCleaner frees dropped localCheckpoint/persist blocks
+        # only after a FULL JVM GC notices the dead RDD references; the
+        # default 30min forced-GC interval lets a long query session
+        # (e.g. the 47-query bench loop, 3 plans per query, several
+        # checkpoint barriers each) accumulate gigabytes of orphaned
+        # storage blocks — measured as monotonic per-rep slowdown.
+        # 3min bounds the leak to a couple of plans' worth.
+        .config("spark.cleaner.periodicGC.interval", "3min")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
