@@ -282,7 +282,10 @@ def q_gapfill_1h(spark, sf):
 
     ev = _spread(_load(spark, sf, "events"))
     agg = rollup_from_raw(ev, "1h", source_col="user_id", ts_col="ts", value_col="value")
-    dense = gapfill(agg, 3600)
+    # windowed gap generation: the dense output feeds the sink directly
+    # (no further window stages), the regime where the lag-window form
+    # measures ~30% faster than the spine join (gapfill docstring)
+    dense = gapfill(agg, 3600, windowed=True)
     return dense.select(
         F.col("source").alias("user_id"),
         "bucket_start",
@@ -514,9 +517,13 @@ def q_lag_rolling_1h(spark, sf):
     from getml_community_spark.operators.rollup import rollup_from_raw
 
     ev = _spread(_load(spark, sf, "events"))
+    # windowed gap generation: measured faster here even though lag/
+    # rolling windows follow (one flat lag bank, unlike the decompose
+    # chain's window-over-window, which keeps the spine-join default)
     dense = gapfill(
         rollup_from_raw(ev, "1h", source_col="user_id", ts_col="ts", value_col="value"),
         3600,
+        windowed=True,
     )
     out = rolling_features(
         lag_features(dense, ["cnt"], lags=[1, 2]),

@@ -89,10 +89,20 @@ def gapfill(
     null_cols: tuple[str, ...] = ("min_n_tok", "max_n_tok"),
     rate_col: str | None = "rate",
     barrier: bool = True,
+    windowed: bool = False,
 ) -> DataFrame:
     """Densify a rollup table. Gap rows get cnt=0/sum=0/rate=0 and NULL
     min/max. ``per_source=False`` uses the global [min, max] span for
     every source (useful when sources must align for cascades).
+
+    ``windowed=True`` (per_source only) generates gap rows from a lag
+    window over the aggregate instead of the spine join — measured ~30%
+    faster when the dense output is consumed directly (one sort of the
+    aggregate instead of a join that sorts the sources x buckets dense
+    table), but ~3x SLOWER when further per-key window stages
+    (seasonal_decompose) consume it un-materialized: the union +
+    lag-window upstream composes badly inside the downstream window
+    job. Default off; opt in for standalone densification.
     """
     # both construction paths consume `agg` from two branches that share
     # no subtree — without a barrier the whole upstream chain
@@ -104,7 +114,7 @@ def gapfill(
 
     if barrier and agg.storageLevel == StorageLevel.NONE:
         agg = agg.localCheckpoint(eager=False)
-    if per_source:
+    if per_source and windowed:
         return _gapfill_windowed(
             agg, tier_seconds, zero_cols, null_cols, rate_col
         )

@@ -81,6 +81,18 @@ def test_gapfill_dense_and_zeroed(spark, corpus_df, corpus_pdf):
     assert_frames_equal_unordered(got, want, ["source", "bucket_start"])
 
 
+def test_gapfill_windowed_equals_join_spine(spark, corpus_df):
+    """r6 optimization: the lag-window gap generator must produce the
+    EXACT row set and values of the spine-join path (same [min, max]
+    span per source, typed zero/NULL gap literals)."""
+    agg = rollup_from_raw(corpus_df, "1h")
+    join_form = gapfill(agg, 3600, windowed=False).toPandas()
+    win_form = gapfill(agg, 3600, windowed=True).toPandas()
+    assert_frames_equal_unordered(
+        win_form, join_form, ["source", "bucket_start"]
+    )
+
+
 def test_corpus_invariants(corpus_pdf):
     # FIXTURES.md §1: n_tok == len(tokens); hot source ~25%
     assert (corpus_pdf["tokens"].map(len) == corpus_pdf["n_tok"]).all()
