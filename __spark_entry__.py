@@ -1620,7 +1620,9 @@ def q_seasonal_decompose(spark, sf):
     agg = rollup_from_raw(
         ev, "1h", source_col="user_id", ts_col="ts", value_col="value"
     )
-    dense = gapfill(agg, 3600).select("source", "bucket_start", "cnt")
+    # windowed=False: the decompose chain's window-over-window consumers
+    # compose badly with the lag-window gap generator (gapfill docstring)
+    dense = gapfill(agg, 3600, windowed=False).select("source", "bucket_start", "cnt")
     out = seasonal_decompose(
         dense,
         ts_col="bucket_start",
@@ -1850,7 +1852,7 @@ def q_deseasonal_anomaly(spark, sf):
     agg = rollup_from_raw(
         ev, "1h", source_col="user_id", ts_col="ts", value_col="value"
     )
-    dense = gapfill(agg, 3600).select("source", "bucket_start", "cnt")
+    dense = gapfill(agg, 3600, windowed=False).select("source", "bucket_start", "cnt")
     dec = seasonal_decompose(
         dense, ts_col="bucket_start", value_col="cnt", key_col="source",
         period=24, bucket_seconds=3600,

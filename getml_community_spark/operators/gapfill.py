@@ -89,7 +89,7 @@ def gapfill(
     null_cols: tuple[str, ...] = ("min_n_tok", "max_n_tok"),
     rate_col: str | None = "rate",
     barrier: bool = True,
-    windowed: bool = False,
+    windowed: bool = True,
 ) -> DataFrame:
     """Densify a rollup table. Gap rows get cnt=0/sum=0/rate=0 and NULL
     min/max. ``per_source=False`` uses the global [min, max] span for
@@ -102,7 +102,9 @@ def gapfill(
     table), but ~3x SLOWER when further per-key window stages
     (seasonal_decompose) consume it un-materialized: the union +
     lag-window upstream composes badly inside the downstream window
-    job. Default off; opt in for standalone densification.
+    job. Default ON (the standalone/dense-write shape is the common
+    one, incl. the bench hot path); window-over-window consumers like
+    the decompose chain pass ``windowed=False``.
     """
     # both construction paths consume `agg` from two branches that share
     # no subtree — without a barrier the whole upstream chain
