@@ -2062,6 +2062,45 @@ def _md5_tokens_expr():
     )
 
 
+_MD5_TOKENS_UDF = []
+
+
+def _md5_tokens_arrow():
+    """Arrow-batched `_md5_tokens_expr` (optimization guide §4.2): the
+    JVM form runs an interpreted per-word md5+conv chain; hashlib.md5
+    in C computes the identical ids (same lowercase hex digest, same
+    first-15-hex-chars → int → mod 65536 arithmetic, same [^a-z0-9]+
+    split on lowered ASCII text). Used by the token-axis contract
+    queries whose downstream consumes a MATERIALIZED tokens column."""
+    if not _MD5_TOKENS_UDF:
+        import hashlib
+        import re
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        rx = re.compile(r"[^a-z0-9]+")
+
+        def _tok(s):
+            md5, split = hashlib.md5, rx.split
+            return pd.Series(
+                [
+                    [
+                        int(md5(w.encode()).hexdigest()[:15], 16) % 65536
+                        for w in split(x.lower())
+                        if w
+                    ]
+                    for x in s
+                ]
+            )
+
+        _tok.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        _MD5_TOKENS_UDF.append(
+            pandas_udf(_tok, "array<int>").asNondeterministic()
+        )
+    return _MD5_TOKENS_UDF[0](F.col("text"))
+
+
 def q_token_neardup(spark, sf):
     """Near-duplicate TOKEN-SEQUENCE pairs (the input_hint payload:
     tokens array<int>) via token_minhash_pairs — MinHash-LSH over
@@ -2074,7 +2113,7 @@ def q_token_neardup(spark, sf):
     # branch re-derives shingles from this frame, and a single-file scan
     # would run that (interpreted) pipeline on one core
     docs = _spread(_load(spark, sf, "documents"))
-    df = docs.select("doc_id", _md5_tokens_expr().alias("tokens"))
+    df = docs.select("doc_id", _md5_tokens_arrow().alias("tokens"))
     # max_bucket_size=None: uncapped — the oracle is all-pairs
     pairs = token_minhash_pairs(
         df, "tokens", "doc_id", shingle_n=8, max_bucket_size=None

@@ -123,6 +123,61 @@ def shingles(text: Column, n: int = 5, charset: str = "ascii") -> Column:
     )
 
 
+_SHINGLE_UDFS: dict = {}
+
+
+def shingles_arrow(text, n: int = 5, charset: str = "ascii") -> Column:
+    """Arrow-batched :func:`shingles`: tokenize (C regex) + slide +
+    join + first-occurrence dedup in the Python worker (guide §4.2 —
+    the JVM split/transform/concat_ws pipeline is interpreted and
+    measured ~2.3 s alone at sf1-shape). Byte-identical on ASCII input:
+    same split class, ' '-joined n-grams, dict.fromkeys == the JVM
+    array_distinct first-occurrence order, and the same whole-doc
+    shingle for short docs (F.slice past the end == python slicing).
+
+    ONLY safe where the output lands in a materialized column (e.g.
+    the verified-pairs shingle checkpoint) — feeding it straight into
+    another pandas UDF's argument expression risks the PythonUDF
+    extraction failure documented on :func:`shingles`.
+    """
+    key = (n, charset)
+    udf = _SHINGLE_UDFS.get(key)
+    if udf is None:
+        import re
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        if charset != "ascii":
+            # the JVM \p{L}\p{N} class has no exact Python-re analogue;
+            # non-ASCII corpora keep the JVM shingle pipeline
+            raise ValueError("shingles_arrow supports charset='ascii' only")
+        rx = re.compile(_SHINGLE_SPLIT["ascii"])
+
+        def _sh(s):
+            split = rx.split
+            out = []
+            for x in s:
+                if x is None:
+                    out.append(None)
+                    continue
+                w = [t for t in split(x.lower()) if t]
+                k = max(len(w) - (n - 1), 1)
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(w[i : i + n]) for i in range(k)
+                        )
+                    )
+                )
+            return pd.Series(out)
+
+        _sh.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        udf = pandas_udf(_sh, "array<string>").asNondeterministic()
+        _SHINGLE_UDFS[key] = udf
+    return udf(text)
+
+
 def _hash_family(col: Column, seed: int) -> Column:
     """One member of a 64-bit hash family: xxhash64 with per-family salt."""
     return F.xxhash64(col, F.lit(seed))
@@ -381,24 +436,26 @@ def token_minhash_pairs(
     ``array_union`` — no text round-trip, so dedup runs directly on the
     training-ready token table. Columns: (id_a, id_b, est_jaccard,
     exact_jaccard)."""
-    pairs = minhash_lsh_pairs(
-        df,
-        None,
-        id_col,
-        num_hashes,
-        bands,
-        shingle_n,
-        max_bucket_size,
-        shingle_expr=token_shingles(F.col(tokens_col), shingle_n),
-    )
-    # exact re-score joins the shingle sets back candidate-only; the
-    # barrier keeps the (interpreted) shingle pipeline to ONE pass even
-    # though both join branches consume it (no exchange reuse across
-    # self-join aliases — CLAUDE.md)
+    # Shingle ONCE into a checkpointed (id, shingles) table reused by
+    # BOTH the signature pass and the exact rescore (the text path's r6
+    # shape): the old form computed the interpreted tokens→shingles
+    # pipeline separately for the LSH branch and the rescore branch
+    # (no exchange reuse across self-join aliases — CLAUDE.md), and any
+    # caller-supplied tokens projection (e.g. the md5 shim) with it.
     sh_tbl = df.select(
         F.col(id_col).alias("id"),
         token_shingles(F.col(tokens_col), shingle_n).alias("__sh"),
     ).localCheckpoint(eager=True)
+    pairs = minhash_lsh_pairs(
+        sh_tbl,
+        None,
+        "id",
+        num_hashes,
+        bands,
+        shingle_n,
+        max_bucket_size,
+        shingle_expr=F.col("__sh"),
+    )
     a = sh_tbl.select(F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = sh_tbl.select(F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
@@ -594,7 +651,7 @@ def minhash_lsh_pairs_verified(
         df = df.repartition(target)  # spread the interpreted shingle pass
     sh_tbl = df.select(
         F.col(id_col).alias("id"),
-        shingles(F.col(text_col), shingle_n).alias("__sh"),
+        shingles_arrow(F.col(text_col), shingle_n).alias("__sh"),
     ).localCheckpoint(eager=True)
     cand = minhash_lsh_pairs(
         sh_tbl, None, "id", num_hashes, bands, shingle_n, max_bucket_size,
