@@ -497,6 +497,7 @@ class SnapshotTable:
         from_snapshot_id: str,
         to_snapshot_id: str | None = None,
         on_replace: str = "error",
+        on_delete: str = "skip",
     ) -> DataFrame:
         """Incremental append scan (Iceberg ``incremental read``): the
         rows ADDED strictly after ``from_snapshot_id`` up to and
@@ -512,7 +513,14 @@ class SnapshotTable:
         default (``on_replace="error"``) because the appended-rows
         delta is no longer representable from the manifest alone;
         ``on_replace="skip"`` ignores them (correct whenever compaction
-        only ever rewrites data already consumed). Raises if
+        only ever rewrites data already consumed). ``delete`` snapshots
+        similarly REMOVE rows the consumer may have already integrated:
+        ``on_delete="skip"`` (default — append-only consumers reading
+        forward) ignores them; ``on_delete="error"`` raises so a
+        reconcile that reuses recorded per-day state can fall back to a
+        full scan (a retention delete on any day it only partially
+        covers would otherwise leave that day's recorded fingerprint
+        stale and the drift undetected — r5 ADVICE). Raises if
         ``from_snapshot_id`` is not an ancestor of the target (e.g.
         expired) — resume from a full read instead.
         """
@@ -542,7 +550,15 @@ class SnapshotTable:
                         "pass on_replace='skip' if those rows were "
                         "already consumed, or full-read()"
                     )
-            elif snap.operation != "delete":
+            elif snap.operation == "delete":
+                if on_delete == "error":
+                    raise ValueError(
+                        f"snapshot {snap.snapshot_id} is a delete "
+                        "(retention) — rows the consumer may already "
+                        "hold were removed; pass on_delete='skip' for "
+                        "append-only reading, or full-read()"
+                    )
+            else:
                 new_entries.extend(added)
             parent_paths = {e["path"] for e in snap.entries}
         base = chain[0] if chain else self._load(target)

@@ -156,8 +156,17 @@ class RollupJob:
             and last.get("fps") is not None
         ):
             try:
+                # on_delete="error": a retention delete between the
+                # recorded and pinned snapshots may have removed rows
+                # from days whose fingerprints we are about to REUSE —
+                # the broad fallback below then recomputes the full
+                # per-day fingerprint (mirrors the on_replace
+                # compaction fallback; r5 ADVICE item #1)
                 delta = self.input_table.changes(
-                    self.spark, last["snapshot"], to_snapshot_id=in_snap
+                    self.spark,
+                    last["snapshot"],
+                    to_snapshot_id=in_snap,
+                    on_delete="error",
                 )
                 if "event_date" not in delta.columns:
                     delta = delta.withColumn(

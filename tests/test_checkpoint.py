@@ -818,6 +818,31 @@ def test_incremental_changes_appends_only(spark, tmp_path):
     assert sorted(got4.x.tolist()) == [100, 101]
 
 
+def test_incremental_changes_delete_semantics(spark, tmp_path):
+    """r6 (r5 ADVICE #1): a retention delete between the consumer's
+    base and HEAD removes rows the consumer may already hold.
+    on_delete='skip' (default, append-only readers) ignores it;
+    on_delete='error' raises so fingerprint-reusing reconciles fall
+    back to a full scan instead of silently keeping stale state."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "incdel"), partition_by=["day"])
+    mk = lambda day, lo, hi: (
+        spark.range(lo, hi).toDF("x").withColumn("day", F.lit(day))
+    )
+    s1 = t.append(mk("d1", 0, 3))
+    t.append(mk("d2", 10, 12))
+    t.delete_partitions(lambda p: p["day"] == "d2")
+    # default append-only semantics unchanged
+    assert sorted(t.changes(spark, s1).toPandas().x.tolist()) == [10, 11]
+    with pytest.raises(ValueError, match="delete"):
+        t.changes(spark, s1, on_delete="error")
+    # no delete in the window → error-mode behaves like skip
+    s_after = t.current_snapshot_id()
+    t.append(mk("d3", 20, 21))
+    assert t.changes(spark, s_after, on_delete="error").toPandas().x.tolist() == [20]
+
+
 def test_incremental_changes_replace_semantics(spark, tmp_path):
     from pyspark.sql import functions as F
 
