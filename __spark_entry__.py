@@ -641,12 +641,16 @@ def q_word_features(spark, sf):
     WordIndex, fastprop/Aggregator.cpp:371-414): for the top-10
     vocabulary words, per source: number of documents containing the
     word."""
-    from getml_community_spark.operators.textstats import vocabulary, word_tokens
+    from getml_community_spark.operators.textstats import (
+        vocabulary,
+        word_tokens_arrow,
+    )
 
     docs = _load(spark, sf, "documents")
     top = [r["word"] for r in vocabulary(docs, "text", min_df=1, max_size=10).collect()]
-    tokens = docs.select(
-        "source", F.explode(F.array_distinct(word_tokens(F.col("text")))).alias("word")
+    tokens = _spread(docs).select(
+        "source",
+        F.explode(F.array_distinct(word_tokens_arrow(F.col("text")))).alias("word"),
     )
     return (
         tokens.where(F.col("word").isin(top))

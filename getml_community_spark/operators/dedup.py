@@ -729,6 +729,53 @@ def minhash_lsh_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+_SIMHASH_MD5_UDFS: dict = {}
+
+
+def _simhash_md5_udf(num_bits: int):
+    """text → simhash fingerprint with md5-60 token hashes, one Arrow
+    pass (tokenize + hash + vote). See :func:`simhash`."""
+    udf = _SIMHASH_MD5_UDFS.get(num_bits)
+    if udf is None:
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        rx = re.compile(_SHINGLE_SPLIT["ascii"])
+        shifts = np.arange(num_bits, dtype=np.uint64)
+        weights = np.uint64(1) << shifts
+
+        def _fp(s):
+            md5, split = hashlib.md5, rx.split
+            out = np.zeros(len(s), dtype=np.uint64)
+            for i, x in enumerate(s):
+                if x is None:
+                    continue
+                h = np.fromiter(
+                    (
+                        int(md5(t.encode()).hexdigest()[:15], 16)
+                        for t in split(x.lower())
+                        if t
+                    ),
+                    dtype=np.uint64,
+                )
+                if len(h) == 0:
+                    continue
+                set_cnt = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).sum(
+                    axis=0
+                )
+                out[i] = ((2 * set_cnt > len(h)) * weights).sum()
+            return pd.Series(out.view(np.int64))
+
+        _fp.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        udf = pandas_udf(_fp, "long").asNondeterministic()
+        _SIMHASH_MD5_UDFS[num_bits] = udf
+    return udf
+
+
 def simhash(text: Column, num_bits: int = 64, token_hash: str = "xxhash64") -> Column:
     """SimHash fingerprint: sign-sum of per-token hash bits.
 
@@ -751,13 +798,16 @@ def simhash(text: Column, num_bits: int = 64, token_hash: str = "xxhash64") -> C
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if token_hash == "md5_60":
+        # ONE Arrow kernel: tokenize (C regex) + md5-60 (hashlib) +
+        # majority vote — the JVM path ran an interpreted per-word
+        # md5+conv chain before the vote UDF (guide §4.2). Identical
+        # fingerprints: same split class, same int(md5hex[:15],16)
+        # arithmetic, same all-occurrences vote.
+        return _simhash_md5_udf(num_bits)(text)
     words = F.filter(F.split(F.lower(text), _SHINGLE_SPLIT["ascii"]), lambda w: w != "")
     if token_hash == "xxhash64":
         hashes = F.transform(words, lambda w: F.xxhash64(w))
-    elif token_hash == "md5_60":
-        hashes = F.transform(
-            words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
-        )
     else:
         raise ValueError(token_hash)
 

@@ -184,6 +184,48 @@ def vocabulary(
     )
 
 
+_CONTAM_SHINGLE_UDFS: dict = {}
+
+
+def _contam_shingles_arrow(text, n: int) -> Column:
+    """Distinct word ``n``-gram shingles per doc (empty when < n words)
+    in one Arrow pass — the ngram_contamination shingle set."""
+    udf = _CONTAM_SHINGLE_UDFS.get(n)
+    if udf is None:
+        import re
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        rx = re.compile(_TOKEN_SPLIT["ascii"])
+
+        def _sh(s):
+            split = rx.split
+            out = []
+            for x in s:
+                if x is None:
+                    out.append(None)
+                    continue
+                w = [t for t in split(x.lower()) if t]
+                if len(w) < n:
+                    out.append([])
+                else:
+                    out.append(
+                        list(
+                            dict.fromkeys(
+                                " ".join(w[i : i + n])
+                                for i in range(len(w) - n + 1)
+                            )
+                        )
+                    )
+            return pd.Series(out)
+
+        _sh.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        udf = pandas_udf(_sh, "array<string>").asNondeterministic()
+        _CONTAM_SHINGLE_UDFS[n] = udf
+    return udf(text)
+
+
 def _let(arr: Column, body) -> Column:
     """Bind an array expression to a lambda variable so it is evaluated
     ONCE per row. Higher-order lambdas inline outer expressions into
@@ -498,20 +540,13 @@ def ngram_contamination(
     benchmark = _spread(benchmark)
 
     def shingle_expr() -> Column:
-        # _let binds the tokenized words once per row — without it the
-        # tokenizer re-splits the text per shingle (measured 24x)
-        return _let(
-            word_tokens_arrow(F.col(text_col)),
-            lambda w: F.when(
-                F.size(w) >= n,
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                        lambda i: F.array_join(F.slice(w, i, n), " "),
-                    )
-                ),
-            ).otherwise(F.array().cast("array<string>")),
-        )
+        # tokenize + slide + join + distinct in ONE Arrow kernel (guide
+        # §4.2): the JVM transform/slice/array_join slide is interpreted
+        # and was the remaining cost after the tokenizer moved to Arrow.
+        # Identical arrays: same [^a-z0-9']+ split, ' '-joined n-grams,
+        # dict.fromkeys == array_distinct first-occurrence order, empty
+        # list when the doc has < n words.
+        return _contam_shingles_arrow(F.col(text_col), n)
 
     def shingles(frame: DataFrame, keep_id: bool) -> DataFrame:
         cols = [F.col(id_col)] if keep_id else []
